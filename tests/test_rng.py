@@ -1,0 +1,58 @@
+"""Bit-parity tests: library hash/Box-Muller vs the NumPy oracle."""
+import numpy as np
+import jax.numpy as jnp
+
+from godotoceanwaves_tpu.ops import rng
+
+import oracle
+
+
+def test_hash_bit_parity():
+    xs = np.array([0, 1, 5, 1023, -3, -10000, 123456, 2**31 - 1], np.int64)
+    ys = np.array([0, 7, -1, 512, 99, -9999, 654321, -(2**31)], np.int64)
+    u0_ref, u1_ref = oracle.hash_uvec2(xs, ys)
+    u0, u1 = rng.hash_uvec2(jnp.asarray(xs, jnp.int32), jnp.asarray(ys, jnp.int32))
+    np.testing.assert_array_equal(np.asarray(u0), u0_ref)
+    np.testing.assert_array_equal(np.asarray(u1), u1_ref)
+
+
+def test_hash_uniform_range():
+    n = 256
+    ix = np.broadcast_to(np.arange(n)[None, :], (n, n))
+    iy = np.broadcast_to(np.arange(n)[:, None], (n, n))
+    u0, u1 = rng.hash_uvec2(jnp.asarray(ix), jnp.asarray(iy))
+    for u in (np.asarray(u0), np.asarray(u1)):
+        assert u.min() >= 0.0 and u.max() <= 1.0
+        assert abs(u.mean() - 0.5) < 0.01  # uniformity sanity
+
+
+def test_gaussian_parity_and_moments():
+    n = 512
+    ix = np.broadcast_to(np.arange(n)[None, :], (n, n))
+    iy = np.broadcast_to(np.arange(n)[:, None], (n, n))
+    u0_ref, u1_ref = oracle.hash_uvec2(ix + 77, iy - 13)
+    g_ref = oracle.gaussian(u0_ref, u1_ref)
+
+    u0, u1 = rng.hash_uvec2(jnp.asarray(ix + 77), jnp.asarray(iy - 13))
+    g = np.asarray(rng.gaussian_pair(u0, u1))
+    assert np.sqrt(np.mean(np.abs(g - g_ref) ** 2)) < 1e-5
+    # standard complex normal: E[Re]=E[Im]=0, Var[Re]=Var[Im]=1
+    assert abs(g.real.mean()) < 0.01 and abs(g.imag.mean()) < 0.01
+    assert abs(g.real.std() - 1.0) < 0.01 and abs(g.imag.std() - 1.0) < 0.01
+
+
+def test_hash32_spray_parity():
+    px = np.array([0, 3, 1000, 32767, -5], np.int64)
+    py = np.array([1, 9, 2000, 12345, 17], np.int64)
+    u0, u1, u2 = rng.hash32_uvec2(jnp.asarray(px, jnp.int32), jnp.asarray(py, jnp.int32))
+    # independent transcription of sea_spray_particle.gdshader:31-38
+    p = np.stack([px, py]).astype(np.int64).astype(np.uint32)
+    with np.errstate(over="ignore"):
+        q = np.uint32(1103515245) * ((p >> np.uint32(1)) ^ p[::-1])
+        h32 = np.uint32(1103515245) * (q[0] ^ (q[1] >> np.uint32(3)))
+        nn = h32 ^ (h32 >> np.uint32(16))
+        rz = np.stack([nn, nn * np.uint32(16807), nn * np.uint32(48271)])
+    expect = ((rz >> np.uint32(1)) & np.uint32(0x7FFFFFFF)).astype(np.float32) / np.float32(0x7FFFFFFF)
+    np.testing.assert_array_equal(np.asarray(u0), expect[0])
+    np.testing.assert_array_equal(np.asarray(u1), expect[1])
+    np.testing.assert_array_equal(np.asarray(u2), expect[2])
