@@ -7,7 +7,21 @@ displacement/normal-map synthesis with persistent Jacobian foam — re-expressed
 as pure JAX transforms, MXU-friendly FFTs, Pallas kernels, and `shard_map`
 sharding over TPU meshes.
 """
-from . import ops
+from . import models, ops
+from .models import (
+    CascadeParams,
+    Ocean,
+    OceanMaps,
+    OceanState,
+    SimConfig,
+    default_cascades,
+    init_state,
+    simulate,
+    step,
+)
 
 __version__ = "0.1.0"
-__all__ = ["ops"]
+__all__ = [
+    "ops", "models", "CascadeParams", "Ocean", "OceanMaps", "OceanState",
+    "SimConfig", "default_cascades", "init_state", "simulate", "step",
+]

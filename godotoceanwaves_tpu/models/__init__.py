@@ -1,0 +1,18 @@
+"""Models: cascade parameters, ocean simulation session, spray, shading."""
+from .cascade import CascadeParams, SimConfig, default_cascades, stack_cascades
+from .ocean import (
+    Ocean,
+    OceanMaps,
+    OceanState,
+    generate_spectrum,
+    init_state,
+    simulate,
+    step,
+    step_cascade,
+)
+
+__all__ = [
+    "CascadeParams", "SimConfig", "default_cascades", "stack_cascades",
+    "Ocean", "OceanMaps", "OceanState", "generate_spectrum", "init_state",
+    "simulate", "step", "step_cascade",
+]

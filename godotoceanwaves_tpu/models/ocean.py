@@ -1,0 +1,321 @@
+"""The wave-generation engine and session layer (reference C5 + C7).
+
+Functional core
+---------------
+The reference's per-frame GPU pipeline (wave_generator.gd:65-85):
+
+  spectrum_compute (dirty only) -> spectrum_modulate -> FFT rows -> transpose
+  -> FFT rows -> fft_unpack
+
+becomes a pure function `step(config, state, params, dt) -> (state, maps)`,
+vmapped over cascades. All cross-frame mutable state — per-cascade time
+(wave_cascade_parameters.gd:40) and the persistent foam accumulator
+(fft_unpack.glsl:61-64) — lives in an explicit `OceanState` pytree, so a
+"checkpoint" is just the serialized pytree (SURVEY.md section 5.4) and XLA's
+value semantics replace the reference's barrier choreography.
+
+Session layer
+-------------
+`Ocean` mirrors the orchestrator `Water` (water.gd): owns the parameter set,
+dirty-bit spectrum regeneration (wave_cascade_parameters.gd:38 semantics),
+the `updates_per_second` scheduler with frame-skip delta compensation
+(water.gd:75-82), and optional one-cascade-per-call staggering
+(wave_generator.gd:56-63's load balancer).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from ..ops import fft, initial_state, modulate as modulate_ops, spectra, unpack as unpack_ops
+from .cascade import CascadeParams, SimConfig, default_cascades, stack_cascades
+
+# Cascade time offsets chosen so cascades don't interfere (water.gd:32).
+TIME_OFFSET_BASE = 120.0
+TIME_OFFSET_STEP = float(np.pi)
+
+
+@struct.dataclass
+class OceanState:
+    """All cross-frame state for a stack of C cascades at resolution N."""
+    h0: jax.Array      # (C, N, N) complex64 — initial spectrum h0(k)
+    h0nc: jax.Array    # (C, N, N) complex64 — conj(h0(-k)) companion
+    foam: jax.Array    # (C, N, N) float32 — persistent foam accumulator
+    time: jax.Array    # (C,) float32 — per-cascade simulation time
+
+
+@struct.dataclass
+class OceanMaps:
+    """Per-step outputs: the analog of the reference's output texture arrays.
+
+    displacement (C17): (C, N, N, 3) = (hx, hy, hz)
+    normal (C18):       (C, N, N, 4) = (dhy/dx', dhy/dz', dhx/dx, foam)
+    """
+    displacement: jax.Array
+    normal: jax.Array
+
+
+def _spectrum_one(config: SimConfig, p: CascadeParams):
+    """Initial spectrum for a single cascade; alpha/omega_p derived from wind
+    speed and fetch exactly as wave_generator.gd:68-70 (fetch km -> m)."""
+    fetch_m = p.fetch_length * 1e3
+    alpha = spectra.jonswap_alpha(p.wind_speed, fetch_m, config.g)
+    omega_p = spectra.jonswap_peak_angular_frequency(p.wind_speed, fetch_m, config.g)
+    angle = jnp.deg2rad(p.wind_direction)
+    return initial_state.build_initial_spectrum(
+        config.map_size, p.spectrum_seed, p.tile_length, alpha, omega_p,
+        p.wind_speed, angle, config.depth, p.swell, p.detail, p.spread, config.g,
+    )
+
+
+@functools.partial(jax.jit, static_argnums=0)
+def generate_spectrum(config: SimConfig, params: CascadeParams):
+    """(h0, h0nc), each (C, N, N) complex64, vmapped over cascades."""
+    return jax.vmap(lambda p: _spectrum_one(config, p))(params)
+
+
+def init_state(config: SimConfig, params: CascadeParams) -> OceanState:
+    """Fresh state: generated spectra, zero foam, staggered time offsets."""
+    h0, h0nc = generate_spectrum(config, params)
+    c = params.num_cascades
+    n = config.map_size
+    time = TIME_OFFSET_BASE + TIME_OFFSET_STEP * jnp.arange(c, dtype=jnp.float32)
+    return OceanState(h0=h0, h0nc=h0nc, foam=jnp.zeros((c, n, n), jnp.float32), time=time)
+
+
+def _cascade_maps(config: SimConfig, h0, h0nc, foam, t, p: CascadeParams):
+    """One cascade's modulate -> IFFT -> unpack chain (single (N,N) tiles)."""
+    layers = modulate_ops.modulate(h0, h0nc, p.tile_length, config.depth, t, config.g)
+    out = fft.ifft2_packed(layers, impl=config.resolved_fft_impl(),
+                           fold_sign=config.fold_sign)
+    # foam rates: normalized-to-[0,10] constants (wave_generator.gd:104-106);
+    # rates are premultiplied by dt by the caller.
+    return unpack_ops.unpack(
+        out, foam, p.whitecap, p.foam_grow_rate, p.foam_decay_rate,
+        pre_shifted=config.fold_sign, map_dtype=config.resolved_map_dtype(),
+    )
+
+
+def _foam_rates(p: CascadeParams, dt):
+    grow = dt * p.foam_amount * 7.5
+    decay = dt * jnp.maximum(0.5, 10.0 - p.foam_amount) * 1.15
+    return grow, decay
+
+
+@functools.partial(jax.jit, static_argnums=0, donate_argnums=1)
+def step(config: SimConfig, state: OceanState, params: CascadeParams, dt
+         ) -> tuple[OceanState, OceanMaps]:
+    """Advance every cascade by dt and synthesize maps.
+
+    Time advances before modulation (wave_generator.gd:101-103). The state
+    buffer is donated: foam updates in place, HBM-resident, no host traffic.
+    """
+    dt = jnp.asarray(dt, jnp.float32)
+    t_new = state.time + dt
+
+    def one(h0, h0nc, foam, t, p):
+        grow, decay = _foam_rates(p, dt)
+        p_rt = RuntimeCascade(p, grow, decay)
+        return _cascade_maps(config, h0, h0nc, foam, t, p_rt)
+
+    disp, normal, foam = jax.vmap(one)(state.h0, state.h0nc, state.foam, t_new, params)
+    new_state = OceanState(h0=state.h0, h0nc=state.h0nc, foam=foam, time=t_new)
+    return new_state, OceanMaps(displacement=disp, normal=normal)
+
+
+class RuntimeCascade:
+    """CascadeParams view with per-step derived foam rates attached."""
+
+    def __init__(self, p: CascadeParams, grow, decay):
+        self._p = p
+        self.foam_grow_rate = grow
+        self.foam_decay_rate = decay
+
+    def __getattr__(self, name):
+        return getattr(self._p, name)
+
+
+@functools.partial(jax.jit, static_argnums=0, donate_argnums=1)
+def step_cascade(config: SimConfig, state: OceanState, params: CascadeParams,
+                 dt, cascade_index) -> tuple[OceanState, OceanMaps]:
+    """Update a SINGLE cascade's maps — the load-balancer granularity of the
+    reference (one cascade per rendered frame, wave_generator.gd:56-63).
+
+    Time still advances for all cascades (update() does so globally,
+    wave_generator.gd:100-103); only `cascade_index`'s maps/foam refresh.
+    Returns full-shape maps with zeros elsewhere; callers keeping a persistent
+    map set should use `Ocean(stagger=True)`, which composites on device.
+    """
+    dt = jnp.asarray(dt, jnp.float32)
+    t_new = state.time + dt
+    i = jnp.asarray(cascade_index, jnp.int32)
+
+    p = jax.tree.map(lambda x: x[i], params)
+    grow, decay = _foam_rates(p, dt)
+    p_rt = RuntimeCascade(p, grow, decay)
+    d, nm, foam_i = _cascade_maps(
+        config, state.h0[i], state.h0nc[i], state.foam[i], t_new[i], p_rt)
+
+    foam = jax.lax.dynamic_update_index_in_dim(state.foam, foam_i, i, 0)
+    c, n = state.foam.shape[0], config.map_size
+    dtype = config.resolved_map_dtype()
+    disp = jnp.zeros((c, n, n, 3), dtype).at[i].set(d)
+    normal = jnp.zeros((c, n, n, 4), dtype).at[i].set(nm)
+    new_state = OceanState(h0=state.h0, h0nc=state.h0nc, foam=foam, time=t_new)
+    return new_state, OceanMaps(displacement=disp, normal=normal)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 4))
+def simulate(config: SimConfig, state: OceanState, params: CascadeParams, dt,
+             num_steps: int) -> tuple[OceanState, OceanMaps]:
+    """Time-batched rollout via lax.scan (foam is a recurrence — never vmap
+    over time; SURVEY.md section 7.3 item 3). Returns maps stacked on a
+    leading time axis: (T, C, N, N, ...)."""
+    dt = jnp.asarray(dt, jnp.float32)
+
+    def body(carry, _):
+        new_state, maps = step(config, carry, params, dt)
+        return new_state, maps
+
+    return jax.lax.scan(body, state, None, length=num_steps)
+
+
+class Ocean:
+    """Host-side session: the `Water` orchestrator re-imagined (water.gd).
+
+    Manages the parameter set with dirty-bit spectrum regeneration, the
+    updates_per_second scheduler, and (optionally) cascade staggering.
+
+    >>> ocean = Ocean(map_size=256)
+    >>> maps = ocean.update(1 / 60)          # returns None on skipped frames
+    >>> ocean.set_cascade(0, wind_speed=15)  # marks cascade 0 dirty
+    """
+
+    def __init__(
+        self,
+        params: CascadeParams | Sequence[CascadeParams] | None = None,
+        map_size: int = 1024,
+        updates_per_second: float = 50.0,
+        stagger: bool = False,
+        **config_kwargs: Any,
+    ):
+        if params is None:
+            params = default_cascades()
+        elif isinstance(params, (list, tuple)):
+            params = stack_cascades(params)
+        self.config = SimConfig(map_size=map_size, **config_kwargs)
+        self.params = params
+        self.updates_per_second = updates_per_second
+        self.stagger = stagger
+        self.state = init_state(self.config, params)
+        self._dirty = np.zeros(params.num_cascades, bool)
+        self._time = 0.0
+        self._next_update_time = 0.0
+        self._stagger_index = 0
+        c, n = params.num_cascades, map_size
+        dtype = self.config.resolved_map_dtype()
+        self.maps = OceanMaps(
+            displacement=jnp.zeros((c, n, n, 3), dtype),
+            normal=jnp.zeros((c, n, n, 4), dtype),
+        )
+
+    @property
+    def num_cascades(self) -> int:
+        return self.params.num_cascades
+
+    # --- parameter editing (the ImGui-panel surface, main.gd:92-108) ---
+
+    _SPECTRUM_FIELDS = frozenset({
+        "tile_length", "wind_speed", "wind_direction", "fetch_length",
+        "swell", "spread", "detail", "whitecap", "foam_amount", "spectrum_seed",
+    })  # the setters that flip should_generate_spectrum (wave_cascade_parameters.gd:7-35)
+
+    def set_cascade(self, index: int, **updates: Any) -> None:
+        """Update one cascade's parameters; spectrum-affecting fields mark it
+        dirty so h0 regenerates on the next update (gd dirty-bit semantics)."""
+        new = {}
+        for name, value in updates.items():
+            field = getattr(self.params, name)
+            if name == "tile_length" and isinstance(value, (int, float)):
+                value = (float(value), float(value))
+            if name in ("wind_speed", "fetch_length"):
+                value = max(1e-4, float(value))
+            arr = jnp.asarray(value, field.dtype)
+            new[name] = field.at[index].set(arr)
+            if name in self._SPECTRUM_FIELDS:
+                self._dirty[index] = True
+        self.params = self.params.replace(**new)
+
+    def regenerate_dirty(self) -> None:
+        if not self._dirty.any():
+            return
+        h0, h0nc = generate_spectrum(self.config, self.params)
+        mask = jnp.asarray(self._dirty)[:, None, None]
+        self.state = self.state.replace(
+            h0=jnp.where(mask, h0, self.state.h0),
+            h0nc=jnp.where(mask, h0nc, self.state.h0nc),
+        )
+        self._dirty[:] = False
+
+    # --- per-frame driving (water.gd:75-82 scheduler semantics) ---
+
+    def update(self, delta: float) -> OceanMaps | None:
+        """Advance wall time by `delta`; run a simulation update if due.
+
+        Returns the refreshed maps, or None when the rate limiter skipped the
+        frame. Skipped time is folded into the next update's dt (water.gd:77-80).
+        """
+        ups = self.updates_per_second
+        ran = None
+        if ups == 0 or self._time >= self._next_update_time:
+            target = 1.0 / (ups + 1e-10)
+            update_delta = delta if ups == 0 else target + (self._time - self._next_update_time)
+            self._next_update_time = self._time + target
+            ran = self._update_water(update_delta)
+        self._time += delta
+        return ran
+
+    def _update_water(self, dt: float) -> OceanMaps:
+        self.regenerate_dirty()
+        if self.stagger:
+            idx = self._stagger_index
+            self._stagger_index = (idx + 1) % self.num_cascades
+            self.state, fresh = step_cascade(self.config, self.state, self.params, dt, idx)
+            self.maps = OceanMaps(
+                displacement=self.maps.displacement.at[idx].set(fresh.displacement[idx]),
+                normal=self.maps.normal.at[idx].set(fresh.normal[idx]),
+            )
+        else:
+            self.state, self.maps = step(self.config, self.state, self.params, dt)
+        return self.maps
+
+    # --- checkpoint / resume (SURVEY.md section 5.4) ---
+
+    def checkpoint(self) -> dict[str, Any]:
+        """Serializable snapshot of all cross-frame state.
+
+        Complex leaves travel as fp32 pairs (utils.hostio) because some TPU
+        backends lack complex64 buffer transfer.
+        """
+        from ..utils.hostio import device_get_tree
+        return {
+            "state": device_get_tree(self.state),
+            "params": device_get_tree(self.params),
+            "time": self._time,
+            "next_update_time": self._next_update_time,
+            "stagger_index": self._stagger_index,
+        }
+
+    def restore(self, snapshot: dict[str, Any]) -> None:
+        from ..utils.hostio import device_put_tree
+        self.state = device_put_tree(snapshot["state"])
+        self.params = device_put_tree(snapshot["params"])
+        self._time = snapshot["time"]
+        self._next_update_time = snapshot["next_update_time"]
+        self._stagger_index = snapshot["stagger_index"]
+        self._dirty[:] = False

@@ -1,0 +1,189 @@
+"""Session-layer tests: state management, scheduler, dirty bits, checkpointing."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from godotoceanwaves_tpu import (
+    CascadeParams, Ocean, SimConfig, default_cascades, init_state, simulate, step,
+)
+from godotoceanwaves_tpu.models.ocean import step_cascade
+
+N = 64
+
+
+def small_config(**kw):
+    return SimConfig(map_size=N, **kw)
+
+
+def test_init_state_shapes_and_time_offsets():
+    cfg = small_config()
+    params = default_cascades()
+    state = init_state(cfg, params)
+    assert state.h0.shape == (3, N, N) and state.h0.dtype == jnp.complex64
+    assert state.foam.shape == (3, N, N) and state.foam.dtype == jnp.float32
+    # water.gd:32 — time = 120.0 + pi*i
+    np.testing.assert_allclose(
+        np.asarray(state.time), 120.0 + np.pi * np.arange(3), rtol=1e-6)
+
+
+def test_step_shapes_time_advance_and_determinism():
+    cfg = small_config()
+    params = default_cascades()
+    state = init_state(cfg, params)
+    t_before = np.asarray(state.time).copy()
+    s1, maps1 = step(cfg, state, params, 0.02)
+    assert maps1.displacement.shape == (3, N, N, 3)
+    assert maps1.normal.shape == (3, N, N, 4)
+    np.testing.assert_allclose(np.asarray(s1.time), t_before + 0.02, rtol=1e-6)
+
+    state_b = init_state(cfg, params)
+    _, maps2 = step(cfg, state_b, params, 0.02)
+    np.testing.assert_array_equal(np.asarray(maps1.displacement), np.asarray(maps2.displacement))
+
+
+def test_fold_sign_paths_agree():
+    params = default_cascades()
+    outs = []
+    for fold in (True, False):
+        cfg = small_config(fold_sign=fold)
+        state = init_state(cfg, params)
+        _, maps = step(cfg, state, params, 0.02)
+        outs.append(np.asarray(maps.displacement))
+    np.testing.assert_allclose(outs[0], outs[1], atol=1e-4)
+
+
+def test_foam_accumulates_and_normal_alpha_matches_state():
+    cfg = small_config()
+    params = default_cascades()
+    state = init_state(cfg, params)
+    for _ in range(5):
+        state, maps = step(cfg, state, params, 0.1)
+    assert float(jnp.max(state.foam)) > 0.0  # big-wave preset does produce foam
+    np.testing.assert_allclose(
+        np.asarray(maps.normal[..., 3]), np.asarray(state.foam), atol=1e-6)
+
+
+def test_simulate_scan_equals_repeated_step():
+    cfg = small_config()
+    params = default_cascades()
+    state = init_state(cfg, params)
+    final_scan, maps_seq = simulate(cfg, state, params, 0.05, 4)
+
+    state_b = init_state(cfg, params)
+    for _ in range(4):
+        state_b, maps_b = step(cfg, state_b, params, 0.05)
+    np.testing.assert_allclose(
+        np.asarray(final_scan.foam), np.asarray(state_b.foam), atol=1e-3)
+    np.testing.assert_allclose(
+        np.asarray(maps_seq.displacement[-1]), np.asarray(maps_b.displacement), atol=1e-3)
+
+
+def test_step_cascade_only_touches_target_cascade():
+    cfg = small_config()
+    params = default_cascades()
+    state = init_state(cfg, params)
+    t_before = np.asarray(state.time).copy()
+    foam0_before = np.asarray(state.foam[0]).copy()
+    state1, maps = step_cascade(cfg, state, params, 0.02, 1)
+    # all cascade times advance (wave_generator.gd:100-103)...
+    np.testing.assert_allclose(np.asarray(state1.time), t_before + 0.02, rtol=1e-6)
+    # ...but only cascade 1's foam/maps refresh
+    np.testing.assert_array_equal(np.asarray(state1.foam[0]), foam0_before)
+    assert np.any(np.asarray(maps.displacement[1]) != 0.0)
+    assert not np.any(np.asarray(maps.displacement[0]))
+
+
+def test_dirty_bit_regeneration():
+    ocean = Ocean(map_size=N, updates_per_second=0)
+    h0_before = np.asarray(ocean.state.h0)
+    ocean.set_cascade(1, wind_speed=17.0)
+    assert ocean._dirty[1] and not ocean._dirty[0]
+    ocean.update(0.02)
+    h0_after = np.asarray(ocean.state.h0)
+    np.testing.assert_array_equal(h0_after[0], h0_before[0])  # clean cascade untouched
+    assert np.any(h0_after[1] != h0_before[1])                # dirty cascade regenerated
+    assert not ocean._dirty.any()
+
+
+def test_scale_params_do_not_dirty_spectrum():
+    ocean = Ocean(map_size=N)
+    ocean.set_cascade(0, displacement_scale=0.5, normal_scale=0.3)
+    assert not ocean._dirty.any()
+    scales = np.asarray(ocean.params.map_scales())
+    np.testing.assert_allclose(scales[0, 2], 0.5)
+    np.testing.assert_allclose(scales[0, 3], 0.3)
+    np.testing.assert_allclose(scales[0, 0], 1.0 / 88.0, rtol=1e-6)
+
+
+def test_scheduler_rate_limiting_and_delta_compensation():
+    ocean = Ocean(map_size=N, updates_per_second=10.0)  # period 0.1s
+    t0 = np.asarray(ocean.state.time).copy()
+    assert ocean.update(0.02) is not None      # first frame always updates
+    assert ocean.update(0.02) is None          # 0.02 < next_update_time
+    for _ in range(3):
+        ocean.update(0.02)
+    assert ocean.update(0.02) is not None      # crossed the 0.1s boundary
+    # dt compensation: total simulated time tracks the scheduled period
+    t1 = np.asarray(ocean.state.time)
+    np.testing.assert_allclose(t1 - t0, 0.2, atol=1e-5)
+
+
+def test_uncapped_scheduler_updates_every_frame():
+    ocean = Ocean(map_size=N, updates_per_second=0)
+    assert ocean.update(0.016) is not None
+    assert ocean.update(0.016) is not None
+
+
+def test_stagger_mode_round_robins():
+    ocean = Ocean(map_size=N, updates_per_second=0, stagger=True)
+    ocean.update(0.02)
+    d0 = np.asarray(ocean.maps.displacement)
+    assert np.any(d0[0]) and not np.any(d0[1])   # only cascade 0 so far
+    ocean.update(0.02)
+    d1 = np.asarray(ocean.maps.displacement)
+    assert np.any(d1[1])                          # cascade 1 filled in
+    np.testing.assert_array_equal(d1[0], d0[0])   # cascade 0 kept
+
+
+def test_checkpoint_restore_roundtrip():
+    ocean = Ocean(map_size=N, updates_per_second=0)
+    ocean.update(0.02)
+    snap = ocean.checkpoint()
+    maps_a = np.asarray(ocean.update(0.02).displacement)
+
+    ocean2 = Ocean(map_size=N, updates_per_second=0)
+    ocean2.restore(snap)
+    maps_b = np.asarray(ocean2.update(0.02).displacement)
+    np.testing.assert_array_equal(maps_a, maps_b)
+
+
+def test_bf16_map_dtype_policy():
+    cfg = small_config(map_dtype="bfloat16")
+    params = default_cascades()
+    state = init_state(cfg, params)
+    s1, maps = step(cfg, state, params, 0.02)
+    assert maps.displacement.dtype == jnp.bfloat16
+    assert maps.normal.dtype == jnp.bfloat16
+    assert s1.foam.dtype == jnp.float32  # fp32 recurrence regardless
+
+    # bf16 maps stay close to the fp32 ones
+    cfg32 = small_config()
+    _, maps32 = step(cfg32, init_state(cfg32, params), params, 0.02)
+    d32 = np.asarray(maps32.displacement)
+    err = np.abs(np.asarray(maps.displacement, np.float32) - d32)
+    assert np.mean(err) < 0.01 * max(1.0, np.abs(d32).mean())
+
+
+def test_single_cascade_params():
+    p = CascadeParams.create(tile_length=32.0, spectrum_seed=(5, 9))
+    stacked = jax.tree.map(lambda x: x[None], p)
+    cfg = small_config()
+    state = init_state(cfg, stacked)
+    _, maps = step(cfg, state, stacked, 0.02)
+    assert maps.displacement.shape == (1, N, N, 3)
+
+
+def test_map_size_validation():
+    with pytest.raises(ValueError):
+        SimConfig(map_size=100)
