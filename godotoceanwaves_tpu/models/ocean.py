@@ -107,14 +107,9 @@ def _foam_rates(p: CascadeParams, dt):
     return grow, decay
 
 
-@functools.partial(jax.jit, static_argnums=0, donate_argnums=1)
-def step(config: SimConfig, state: OceanState, params: CascadeParams, dt
-         ) -> tuple[OceanState, OceanMaps]:
-    """Advance every cascade by dt and synthesize maps.
-
-    Time advances before modulation (wave_generator.gd:101-103). The state
-    buffer is donated: foam updates in place, HBM-resident, no host traffic.
-    """
+def step_impl(config: SimConfig, state: OceanState, params: CascadeParams, dt
+              ) -> tuple[OceanState, OceanMaps]:
+    """Unjitted step body (jit via `step`, or re-jit under shardings/vmap)."""
     dt = jnp.asarray(dt, jnp.float32)
     t_new = state.time + dt
 
@@ -126,6 +121,14 @@ def step(config: SimConfig, state: OceanState, params: CascadeParams, dt
     disp, normal, foam = jax.vmap(one)(state.h0, state.h0nc, state.foam, t_new, params)
     new_state = OceanState(h0=state.h0, h0nc=state.h0nc, foam=foam, time=t_new)
     return new_state, OceanMaps(displacement=disp, normal=normal)
+
+
+step = jax.jit(step_impl, static_argnums=0, donate_argnums=1)
+step.__doc__ = """Advance every cascade by dt and synthesize maps (jitted).
+
+Time advances before modulation (wave_generator.gd:101-103). The state
+buffer is donated: foam updates in place, HBM-resident, no host traffic.
+"""
 
 
 class RuntimeCascade:
@@ -179,7 +182,7 @@ def simulate(config: SimConfig, state: OceanState, params: CascadeParams, dt,
     dt = jnp.asarray(dt, jnp.float32)
 
     def body(carry, _):
-        new_state, maps = step(config, carry, params, dt)
+        new_state, maps = step_impl(config, carry, params, dt)
         return new_state, maps
 
     return jax.lax.scan(body, state, None, length=num_steps)

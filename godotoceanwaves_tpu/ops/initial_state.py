@@ -17,7 +17,9 @@ import jax.numpy as jnp
 from . import grid, rng, spectra
 
 
-def spectrum_amplitude(
+def spectrum_amplitude_at(
+    ix: jax.Array,        # int32 texel x indices (any shape)
+    iy: jax.Array,        # int32 texel y indices (same shape)
     map_size: int,
     seed,                 # (2,) int32
     tile_length,          # (2,) float32 (Lx, Ly)
@@ -31,22 +33,26 @@ def spectrum_amplitude(
     spread,
     g: float = spectra.G,
 ) -> jax.Array:
-    """h0 amplitude field, complex64 (N, N) indexed [y, x].
+    """h0 amplitude evaluated at explicit texel indices, complex64.
 
     Transcription of get_spectrum_amplitude (spectrum_compute.glsl:103-114):
     centered k-grid, finite-depth dispersion, TMA spectrum, Hasselmann spread
     blended with isotropic 1/(2*pi) by (1 - spread), small-wave suppression
-    exp(-(1-detail)^2 k^2), Gaussian draw from the texel hash.
+    exp(-(1-detail)^2 k^2), Gaussian draw from the texel hash. Taking index
+    arrays (rather than assuming a dense (N, N) grid) keeps the stage purely
+    elementwise, so sharded blocks evaluate their own texels with zero
+    cross-device traffic (SURVEY.md section 2.3).
     """
     n = map_size
-    kx, ky = grid.k_grid(n, tile_length[0], tile_length[1])
+    dkx = jnp.float32(2.0 * jnp.pi) / tile_length[0]
+    dky = jnp.float32(2.0 * jnp.pi) / tile_length[1]
+    kx = (ix.astype(jnp.float32) - jnp.float32(n) * 0.5) * dkx
+    ky = (iy.astype(jnp.float32) - jnp.float32(n) * 0.5) * dky
     k = jnp.sqrt(kx * kx + ky * ky) + jnp.float32(1e-6)
     # GLSL atan(k_vec.x, k_vec.y) == atan2(y=k_vec.x, x=k_vec.y)  (glsl:106)
     theta = jnp.arctan2(kx, ky)
 
     w, dw_dk = spectra.dispersion_relation(k, depth, g)
-    dkx = jnp.float32(2.0 * jnp.pi) / tile_length[0]
-    dky = jnp.float32(2.0 * jnp.pi) / tile_length[1]
     w_norm = dw_dk / k * (dkx * dky)
 
     s = spectra.tma_spectrum(w, peak_frequency, alpha, depth, g)
@@ -57,8 +63,6 @@ def spectrum_amplitude(
         -(1.0 - detail) * (1.0 - detail) * k * k
     )
 
-    ix = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
-    iy = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
     u0, u1 = rng.hash_uvec2(ix + seed[0], iy + seed[1])
     gauss = rng.gaussian_pair(u0, u1)
     return gauss * jnp.sqrt(2.0 * s * d * w_norm).astype(jnp.complex64)
@@ -77,16 +81,23 @@ def build_initial_spectrum(
     detail,
     spread,
     g: float = spectra.G,
+    y_offset: int | jax.Array = 0,
+    rows: int | None = None,
 ) -> tuple[jax.Array, jax.Array]:
-    """Packed initial state: (h0(k), conj(h0(-k))), each complex64 (N, N).
+    """Packed initial state: (h0(k), conj(h0(-k))), each complex64 (rows, N).
 
-    The -k companion reuses the same amplitude grid through the flip/roll
-    index map (spectrum_compute.glsl:118-124, `mod(-id0, dims)`), bit-identical
-    to re-evaluating the hash at the negated texel id.
+    The -k companion is evaluated directly at `mod(-id, N)` texel indices
+    (spectrum_compute.glsl:118-124) — bit-identical to a flip/roll of the
+    amplitude grid, but elementwise, so a row-sharded block (y_offset, rows)
+    generates its slice with no cross-device traffic.
     """
-    h0 = spectrum_amplitude(
-        map_size, seed, tile_length, alpha, peak_frequency, wind_speed,
-        angle, depth, swell, detail, spread, g,
-    )
-    h0_neg_conj = jnp.conj(grid.negate_wavenumber(h0))
+    n = map_size
+    r = n if rows is None else rows
+    ix = jax.lax.broadcasted_iota(jnp.int32, (r, n), 1)
+    iy = jax.lax.broadcasted_iota(jnp.int32, (r, n), 0) + jnp.asarray(y_offset, jnp.int32)
+    args = (map_size, seed, tile_length, alpha, peak_frequency, wind_speed,
+            angle, depth, swell, detail, spread, g)
+    h0 = spectrum_amplitude_at(ix, iy, *args)
+    # mod(-id, N) per component (GLSL floor-mod => non-negative result)
+    h0_neg_conj = jnp.conj(spectrum_amplitude_at((-ix) % n, (-iy) % n, *args))
     return h0, h0_neg_conj

@@ -22,20 +22,30 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from . import grid, spectra
+from . import spectra
 
 
 def modulate(
-    h0: jax.Array,       # (N, N) complex64, h0(k)
-    h0nc: jax.Array,     # (N, N) complex64, conj(h0(-k))
+    h0: jax.Array,       # (rows, N) complex64, h0(k)
+    h0nc: jax.Array,     # (rows, N) complex64, conj(h0(-k))
     tile_length,         # (2,) float32
     depth,
     time,
     g: float = spectra.G,
+    y_offset: int | jax.Array = 0,
 ) -> jax.Array:
-    """Returns the 4 packed complex layers, shape (4, N, N) complex64."""
-    n = h0.shape[-1]
-    kx, ky = grid.k_grid(n, tile_length[0], tile_length[1])
+    """Returns the 4 packed complex layers, shape (4, rows, N) complex64.
+
+    `y_offset` is the global y index of the block's first row — 0 for a full
+    map, the shard offset for a row-sharded block (k-grids are evaluated at
+    global texel indices, so sharding changes nothing numerically).
+    """
+    rows, n = h0.shape[-2], h0.shape[-1]
+    idx = jnp.arange(n, dtype=jnp.float32) - jnp.float32(n) * 0.5
+    idy = (jnp.arange(rows, dtype=jnp.float32) + jnp.asarray(y_offset, jnp.float32)
+           - jnp.float32(n) * 0.5)
+    kx = jnp.broadcast_to(idx[None, :] * (jnp.float32(2.0 * jnp.pi) / tile_length[0]), (rows, n))
+    ky = jnp.broadcast_to(idy[:, None] * (jnp.float32(2.0 * jnp.pi) / tile_length[1]), (rows, n))
     k = jnp.sqrt(kx * kx + ky * ky) + jnp.float32(1e-6)
     kux = kx / k
     kuy = ky / k

@@ -19,9 +19,6 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from . import grid
-
-
 def unpack(
     layers: jax.Array,     # (4, N, N) complex64, IFFT output (reference chain order)
     foam_prev: jax.Array,  # (N, N) float32, persistent foam accumulator
@@ -30,6 +27,7 @@ def unpack(
     foam_decay_rate,
     pre_shifted: bool = False,   # True if the FFT already folded in (-1)^(x+y)
     map_dtype=jnp.float32,
+    y_offset: int | jax.Array = 0,  # global row offset of a row-sharded block
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Returns (displacement_map (N,N,3), normal_map (N,N,4), foam (N,N) fp32).
 
@@ -38,11 +36,13 @@ def unpack(
     fft_unpack.glsl:61 — we carry fp32 so decay accumulation stays accurate
     even under the bf16 map-output dtype policy `map_dtype`).
     """
-    n = layers.shape[-1]
+    rows, n = layers.shape[-2], layers.shape[-1]
     if pre_shifted:
         sign = jnp.float32(1.0)
     else:
-        sign = grid.sign_shift(n)
+        ix = jax.lax.broadcasted_iota(jnp.int32, (rows, n), 1)
+        iy = jax.lax.broadcasted_iota(jnp.int32, (rows, n), 0) + jnp.asarray(y_offset, jnp.int32)
+        sign = jnp.where((ix + iy) % 2 == 0, jnp.float32(1.0), jnp.float32(-1.0))
 
     l0, l1, l2, l3 = layers[0], layers[1], layers[2], layers[3]
     hx = jnp.real(l0) * sign
