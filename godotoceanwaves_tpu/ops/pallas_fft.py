@@ -1,0 +1,294 @@
+"""TPU-native fused 2D IFFT: Pallas kernel + its exact jnp algebra twin.
+
+This is the TPU answer to the reference's Stockham compute shader
+(fft_compute.glsl + transpose.glsl): where the GPU used one workgroup per row
+with shared-memory ping-pong, the TPU kernel keeps an entire (N, N) layer
+resident in VMEM and factors each length-N row DFT as
+
+    N = Q * 128,   q-axis (sublane digits)  x  lane axis (128)
+
+  1. DFT_Q over the q digits: log2(Q) radix-2 Stockham stages on the VPU in
+     exact fp32 (positive-exponent, unnormalized — the reference convention,
+     fft_butterfly.glsl:27).
+  2. twiddle multiply T[d, l] = e^{2 pi i d l / N} (fp32 constants).
+  3. DFT_128 over lanes on the MXU as bf16x3 split-precision matmuls
+     (hi/lo decomposition; ~1e-5 relative error, vs ~6e-3 for plain bf16).
+  4. digit-swap relayout from four-step output order Z[d, c] (true index
+     k = Q*c + d) back to natural order.
+
+The 2D chain is rows -> VMEM transpose -> rows with NO second transpose,
+matching wave_generator.gd:77-82, and the (-1)^k ifftshift sign
+(fft_unpack.glsl:37-38) is folded into the twiddles for free.
+
+Data crosses HBM exactly twice (read layer, write layer): the XLA matmul
+tiers move it 6-10x. Arrays are (re, im) fp32 plane pairs, never complex64 —
+TPU layouts for interleaved complex are poor and the axon backend cannot even
+transfer complex buffers.
+
+`fourstep_ifft2_planes` is the same algorithm in plain jnp — the unit-testable
+algebra twin and the CPU fallback.
+"""
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANES = 128
+
+
+# --- host-side constant precompute ---------------------------------------
+
+@functools.lru_cache(maxsize=None)
+def _radix_twiddles(q: int) -> tuple[np.ndarray, ...]:
+    """Per-stage Stockham twiddles for the DFT_Q digit pass.
+
+    Stage s (stride = 2^s): tw[col] = e^{i pi (col % stride) / stride} for
+    col in [0, Q/2) — the same factors fft_butterfly.glsl:27 tabulates, in
+    closed form. Returned as (re, im) pairs of shape (Q/2, 1).
+    """
+    out = []
+    for s in range(int(np.log2(q))):
+        stride = 1 << s
+        col = np.arange(q // 2)
+        ang = np.pi * (col % stride) / stride
+        out.append((np.cos(ang).astype(np.float32).reshape(-1, 1),
+                    np.sin(ang).astype(np.float32).reshape(-1, 1)))
+    return tuple(out)
+
+
+@functools.lru_cache(maxsize=None)
+def _fourstep_twiddle(n: int, fold_sign: bool) -> tuple[np.ndarray, np.ndarray]:
+    """T[d, l] = e^{2 pi i d l / n} (optionally * (-1)^d), shape (Q, 128).
+
+    The (-1)^d factor realizes (-1)^k on the final index k = Q*c + d (Q even),
+    i.e. the unpack stage's ifftshift sign, at zero cost.
+    """
+    q = n // LANES
+    d = np.arange(q).reshape(-1, 1).astype(np.int64)
+    l = np.arange(LANES).reshape(1, -1).astype(np.int64)
+    ang = 2.0 * np.pi * ((d * l) % n) / n
+    tr, ti = np.cos(ang), np.sin(ang)
+    if fold_sign and q > 1:
+        sign = np.where(d % 2 == 0, 1.0, -1.0)
+        tr, ti = tr * sign, ti * sign
+    return tr.astype(np.float32), ti.astype(np.float32)
+
+
+@functools.lru_cache(maxsize=None)
+def _w128(fold_sign_when_q1: bool) -> tuple[np.ndarray, ...]:
+    """DFT_128 matrix e^{2 pi i l c / 128} as bf16 hi/lo splits (re and im).
+
+    When Q == 1 (N == 128) the (-1)^k sign folds here instead (columns c).
+    Returns (wr_hi, wr_lo, wi_hi, wi_lo), each (128, 128) bfloat16.
+    """
+    l = np.arange(LANES).reshape(-1, 1).astype(np.int64)
+    c = np.arange(LANES).reshape(1, -1).astype(np.int64)
+    ang = 2.0 * np.pi * ((l * c) % LANES) / LANES
+    wr, wi = np.cos(ang).astype(np.float32), np.sin(ang).astype(np.float32)
+    if fold_sign_when_q1:
+        sign = np.where(c % 2 == 0, 1.0, -1.0).astype(np.float32)
+        wr, wi = wr * sign, wi * sign
+
+    def split(w):
+        hi = w.astype(np.dtype("bfloat16"))
+        lo = (w - hi.astype(np.float32)).astype(np.dtype("bfloat16"))
+        return hi, lo
+
+    wr_hi, wr_lo = split(wr)
+    wi_hi, wi_lo = split(wi)
+    return wr_hi, wr_lo, wi_hi, wi_lo
+
+
+# --- algorithm pieces (shared verbatim by jnp twin and Pallas kernel) -----
+
+def _dft_q(xr, xi, radix_tw, q: int):
+    """DFT_Q over axis -2 of (..., Q, 128) via radix-2 Stockham stages (fp32).
+
+    Positive-exponent, unnormalized, self-sorting. Stage recurrence (the
+    closed form of the reference's butterfly tables, fft_butterfly.glsl:24-34):
+      upper = x[:Q/2] + tw*x[Q/2:],  lower = x[:Q/2] - tw*x[Q/2:],
+      out   = interleave blocks of `stride` from upper/lower.
+    `radix_tw` is the (S, 2, Q/2) per-stage twiddle input.
+    """
+    half = q // 2
+    for s in range(int(np.log2(q))):
+        stride = 1 << s
+        twr = radix_tw[s, 0].reshape(half, 1)
+        twi = radix_tw[s, 1].reshape(half, 1)
+        ar, ai = xr[..., :half, :], xi[..., :half, :]
+        br, bi = xr[..., half:, :], xi[..., half:, :]
+        tbr = br * twr - bi * twi
+        tbi = br * twi + bi * twr
+        ur, ui = ar + tbr, ai + tbi
+        lr, li = ar - tbr, ai - tbi
+
+        def interleave(u, l):
+            lead = u.shape[:-2]
+            u = u.reshape(*lead, half // stride, 1, stride, LANES)
+            l = l.reshape(*lead, half // stride, 1, stride, LANES)
+            return jnp.concatenate([u, l], axis=-3).reshape(*lead, q, LANES)
+
+        xr, xi = interleave(ur, lr), interleave(ui, li)
+    return xr, xi
+
+
+def _mxu_dft128(yr, yi, w):
+    """DFT_128 over the lane axis of (..., M, 128) via bf16x3 matmuls.
+
+    `w` is the (4, 128, 128) bf16 stack (wr_hi, wr_lo, wi_hi, wi_lo) — passed
+    in (not closed over) because Pallas kernels may not capture large consts.
+    """
+    wr_hi, wr_lo, wi_hi, wi_lo = w[0], w[1], w[2], w[3]
+
+    def split(x):
+        hi = x.astype(jnp.bfloat16)
+        lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        return hi, lo
+
+    def mm3(x_hi, x_lo, w_hi, w_lo):
+        f = functools.partial(jnp.dot, preferred_element_type=jnp.float32)
+        return f(x_hi, w_hi) + f(x_hi, w_lo) + f(x_lo, w_hi)
+
+    shape = yr.shape
+    yr2 = yr.reshape(-1, LANES)
+    yi2 = yi.reshape(-1, LANES)
+    yr_hi, yr_lo = split(yr2)
+    yi_hi, yi_lo = split(yi2)
+    rr = mm3(yr_hi, yr_lo, wr_hi, wr_lo)
+    ri = mm3(yr_hi, yr_lo, wi_hi, wi_lo)
+    ir = mm3(yi_hi, yi_lo, wr_hi, wr_lo)
+    ii = mm3(yi_hi, yi_lo, wi_hi, wi_lo)
+    return (rr - ii).reshape(shape), (ri + ir).reshape(shape)
+
+
+def _rows_pass(xr, xi, w, radix_tw, t4, n: int):
+    """One length-N row DFT over the last axis of (R, N) plane pairs.
+
+    Output lanes are in four-step "physical" order: lane m holds the true
+    frequency sigma(m) = Q*(m % 128) + m // 128. Mosaic cannot split the lane
+    dimension below 128, so the digit un-swap is NOT applied here — `_chain`
+    repairs both axes at the end with row-relayouts + transposes (all
+    Mosaic-supported).
+    """
+    q = n // LANES
+    r = xr.shape[0]
+    xr = xr.reshape(r, q, LANES)
+    xi = xi.reshape(r, q, LANES)
+    if q > 1:
+        xr, xi = _dft_q(xr, xi, radix_tw, q)
+        tr, ti = t4[0], t4[1]
+        xr, xi = xr * tr - xi * ti, xr * ti + xi * tr
+    zr, zi = _mxu_dft128(xr, xi, w)
+    return zr.reshape(r, n), zi.reshape(r, n)
+
+
+def _row_unswap(z, q: int):
+    """Permute ROWS by sigma^{-1}: out[k, :] = z[sigma_inv(k), :].
+
+    Realized as reshape (Q, 128, L) -> transpose -> (N, L): splits/merges only
+    the leading/sublane dims, which Mosaic supports (unlike lane splits).
+    """
+    if q == 1:
+        return z
+    n, l = z.shape
+    return z.reshape(q, LANES, l).transpose(1, 0, 2).reshape(n, l)
+
+
+def _chain(xr, xi, w, radix_tw, t4, n: int):
+    """Reference chain rows -> transpose -> rows (wave_generator.gd:77-82).
+
+    Both passes leave their output lanes digit-permuted (see _rows_pass);
+    algebra (verified numerically): with Z = R'(T(R'(X))), the true chain is
+    Z[sigma_inv rows, sigma_inv lanes], applied here as
+    rowperm . T . rowperm . T — a lane permutation is a transposed row
+    permutation, and row permutations are supported relayouts.
+    """
+    q = n // LANES
+    yr, yi = _rows_pass(xr, xi, w, radix_tw, t4, n)
+    yr, yi = yr.T, yi.T
+    zr, zi = _rows_pass(yr, yi, w, radix_tw, t4, n)
+    zr = _row_unswap(zr.T, q)
+    zi = _row_unswap(zi.T, q)
+    return _row_unswap(zr.T, q), _row_unswap(zi.T, q)
+
+
+def w128_stack(n: int, fold_sign: bool) -> jax.Array:
+    """The (4, 128, 128) bf16 (wr_hi, wr_lo, wi_hi, wi_lo) DFT-matrix input."""
+    return jnp.asarray(np.stack(_w128(fold_sign and n == LANES)))
+
+
+def twiddle_inputs(n: int, fold_sign: bool) -> tuple[jax.Array, jax.Array]:
+    """(radix_tw (S,2,Q/2), t4 (2,Q,128)) fp32 inputs; dummies when Q == 1."""
+    q = n // LANES
+    if q == 1:
+        return jnp.zeros((1, 2, 1), jnp.float32), jnp.zeros((2, 1, LANES), jnp.float32)
+    stages = _radix_twiddles(q)
+    radix = np.stack([np.stack([tr[:, 0], ti[:, 0]]) for tr, ti in stages])
+    t4 = np.stack(_fourstep_twiddle(n, fold_sign))
+    return jnp.asarray(radix.astype(np.float32)), jnp.asarray(t4)
+
+
+# --- jnp twin (CPU fallback + unit-test oracle for the kernel algebra) ----
+
+def fourstep_ifft2_planes(x: jax.Array, fold_sign: bool = True) -> jax.Array:
+    """x: (..., 2, N, N) fp32 (re, im) planes -> same shape, reference chain.
+
+    Equivalent to ops.fft.ifft2_packed (positive-exponent unnormalized DFT,
+    rows->transpose->rows) with the (-1)^(x+y) ifftshift folded in.
+    """
+    n = x.shape[-1]
+    w = w128_stack(n, fold_sign)
+    radix_tw, t4 = twiddle_inputs(n, fold_sign)
+
+    def one(planes):
+        return jnp.stack(_chain(planes[0], planes[1], w, radix_tw, t4, n))
+
+    flat = x.reshape((-1, 2, n, n))
+    out = jax.vmap(one)(flat)
+    return out.reshape(x.shape)
+
+
+# --- the Pallas kernel ----------------------------------------------------
+
+def _ifft2_kernel(w_ref, radix_ref, t4_ref, x_ref, o_ref, *, n: int):
+    xr = x_ref[0, 0]
+    xi = x_ref[0, 1]
+    zr, zi = _chain(xr, xi, w_ref[:], radix_ref[:], t4_ref[:], n)
+    o_ref[0, 0] = zr
+    o_ref[0, 1] = zi
+
+
+def ifft2_packed_planes_pallas(x: jax.Array, fold_sign: bool = True) -> jax.Array:
+    """Fused 2D IFFT of (L, 2, N, N) fp32 planes; one grid program per layer.
+
+    Each program holds its whole layer in VMEM (<= 32 MB at N=1024 incl.
+    scratch; v5e has ~128 MB), so HBM sees exactly one read + one write.
+    """
+    l, two, n, n2 = x.shape
+    assert two == 2 and n == n2 and n % LANES == 0 and (n & (n - 1)) == 0, x.shape
+    w = w128_stack(n, fold_sign)
+    radix_tw, t4 = twiddle_inputs(n, fold_sign)
+    kernel = functools.partial(_ifft2_kernel, n=n)
+    const_spec = lambda shape: pl.BlockSpec(
+        shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=(l,),
+        in_specs=[
+            const_spec(w.shape),
+            const_spec(radix_tw.shape),
+            const_spec(t4.shape),
+            pl.BlockSpec((1, 2, n, n), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 2, n, n), lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(x.shape, jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=127 * 1024 * 1024),
+    )(w, radix_tw, t4, x)
