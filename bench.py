@@ -50,13 +50,14 @@ def main() -> None:
 
     dt = jnp.float32(0.02)
     state, checks = rollout(state, params, dt)  # compile + warm up
-    checks.block_until_ready()
+    float(checks[-1])  # value fetch — block_until_ready alone does not
+                       # synchronize on the tunneled axon backend
 
     times = []
     for _ in range(REPS):
         t0 = time.perf_counter()
         state, checks = rollout(state, params, dt)
-        checks.block_until_ready()
+        float(checks[-1])  # forces completion of the whole chained rollout
         times.append((time.perf_counter() - t0) / SCAN_LEN * 1e3)
     times.sort()
     ms = times[len(times) // 2]  # median

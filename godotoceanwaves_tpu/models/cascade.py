@@ -154,7 +154,11 @@ class SimConfig:
         if self.fft_impl != "auto":
             return self.fft_impl
         platform = jax.default_backend()
-        return "xla" if platform == "cpu" else "matmul"
+        if platform == "cpu":
+            return "xla"
+        # the fused Pallas kernel factors N = Q*128; smaller maps fall back to
+        # the MXU matmul tier
+        return "pallas" if self.map_size % 128 == 0 else "matmul"
 
     def resolved_map_dtype(self):
         return jnp.bfloat16 if self.map_dtype == "bfloat16" else jnp.float32

@@ -42,9 +42,14 @@ TIME_OFFSET_STEP = float(np.pi)
 
 @struct.dataclass
 class OceanState:
-    """All cross-frame state for a stack of C cascades at resolution N."""
-    h0: jax.Array      # (C, N, N) complex64 — initial spectrum h0(k)
-    h0nc: jax.Array    # (C, N, N) complex64 — conj(h0(-k)) companion
+    """All cross-frame state for a stack of C cascades at resolution N.
+
+    Spectra are (Re, Im) fp32 plane pairs, not complex64: planes are the
+    TPU-native layout (interleaved complex tiles poorly and the axon backend
+    cannot transfer complex buffers), and they serialize anywhere.
+    """
+    h0: jax.Array      # (C, 2, N, N) float32 — planes of h0(k)
+    h0nc: jax.Array    # (C, 2, N, N) float32 — planes of conj(h0(-k))
     foam: jax.Array    # (C, N, N) float32 — persistent foam accumulator
     time: jax.Array    # (C,) float32 — per-cascade simulation time
 
@@ -53,8 +58,10 @@ class OceanState:
 class OceanMaps:
     """Per-step outputs: the analog of the reference's output texture arrays.
 
-    displacement (C17): (C, N, N, 3) = (hx, hy, hz)
-    normal (C18):       (C, N, N, 4) = (dhy/dx', dhy/dz', dhx/dx, foam)
+    Channel-first planes (each channel a contiguous (N, N) grid — a trailing
+    3/4-channel axis would waste 124/128 TPU lanes):
+    displacement (C17): (C, 3, N, N) = (hx, hy, hz)
+    normal (C18):       (C, 4, N, N) = (dhy/dx', dhy/dz', dhx/dx, foam)
     """
     displacement: jax.Array
     normal: jax.Array
@@ -75,8 +82,12 @@ def _spectrum_one(config: SimConfig, p: CascadeParams):
 
 @functools.partial(jax.jit, static_argnums=0)
 def generate_spectrum(config: SimConfig, params: CascadeParams):
-    """(h0, h0nc), each (C, N, N) complex64, vmapped over cascades."""
-    return jax.vmap(lambda p: _spectrum_one(config, p))(params)
+    """(h0, h0nc) fp32 plane pairs, each (C, 2, N, N), vmapped over cascades."""
+    def one(p):
+        h0, h0nc = _spectrum_one(config, p)
+        return (jnp.stack([jnp.real(h0), jnp.imag(h0)]),
+                jnp.stack([jnp.real(h0nc), jnp.imag(h0nc)]))
+    return jax.vmap(one)(params)
 
 
 def init_state(config: SimConfig, params: CascadeParams) -> OceanState:
@@ -88,19 +99,6 @@ def init_state(config: SimConfig, params: CascadeParams) -> OceanState:
     return OceanState(h0=h0, h0nc=h0nc, foam=jnp.zeros((c, n, n), jnp.float32), time=time)
 
 
-def _cascade_maps(config: SimConfig, h0, h0nc, foam, t, p: CascadeParams):
-    """One cascade's modulate -> IFFT -> unpack chain (single (N,N) tiles)."""
-    layers = modulate_ops.modulate(h0, h0nc, p.tile_length, config.depth, t, config.g)
-    out = fft.ifft2_packed(layers, impl=config.resolved_fft_impl(),
-                           fold_sign=config.fold_sign)
-    # foam rates: normalized-to-[0,10] constants (wave_generator.gd:104-106);
-    # rates are premultiplied by dt by the caller.
-    return unpack_ops.unpack(
-        out, foam, p.whitecap, p.foam_grow_rate, p.foam_decay_rate,
-        pre_shifted=config.fold_sign, map_dtype=config.resolved_map_dtype(),
-    )
-
-
 def _foam_rates(p: CascadeParams, dt):
     grow = dt * p.foam_amount * 7.5
     decay = dt * jnp.maximum(0.5, 10.0 - p.foam_amount) * 1.15
@@ -109,16 +107,37 @@ def _foam_rates(p: CascadeParams, dt):
 
 def step_impl(config: SimConfig, state: OceanState, params: CascadeParams, dt
               ) -> tuple[OceanState, OceanMaps]:
-    """Unjitted step body (jit via `step`, or re-jit under shardings/vmap)."""
+    """Unjitted step body (jit via `step`, or re-jit under shardings/vmap).
+
+    The whole pipeline runs on fp32 planes: per-cascade modulation (vmapped,
+    elementwise), ONE batched IFFT over all C*4 packed layers (so the Pallas
+    kernel sees a single grid), then per-cascade unpack with the persistent
+    foam recurrence. Foam rates are dt-premultiplied constants
+    (wave_generator.gd:104-106).
+    """
     dt = jnp.asarray(dt, jnp.float32)
     t_new = state.time + dt
+    c = state.foam.shape[0]
+    n = config.map_size
+    fold = config.fold_sign
 
-    def one(h0, h0nc, foam, t, p):
+    layers = jax.vmap(
+        lambda h0, h0nc, t, p: modulate_ops.modulate_planes(
+            h0, h0nc, p.tile_length, config.depth, t, config.g)
+    )(state.h0, state.h0nc, t_new, params)                      # (C, 4, 2, N, N)
+
+    fields = fft.ifft2_packed_planes(
+        layers.reshape(c * 4, 2, n, n),
+        impl=config.resolved_fft_impl(), fold_sign=fold,
+    ).reshape(c, 4, 2, n, n)
+
+    def unpack_one(f, foam, p):
         grow, decay = _foam_rates(p, dt)
-        p_rt = RuntimeCascade(p, grow, decay)
-        return _cascade_maps(config, h0, h0nc, foam, t, p_rt)
+        return unpack_ops.unpack_planes(
+            f, foam, p.whitecap, grow, decay,
+            pre_shifted=fold, map_dtype=config.resolved_map_dtype())
 
-    disp, normal, foam = jax.vmap(one)(state.h0, state.h0nc, state.foam, t_new, params)
+    disp, normal, foam = jax.vmap(unpack_one)(fields, state.foam, params)
     new_state = OceanState(h0=state.h0, h0nc=state.h0nc, foam=foam, time=t_new)
     return new_state, OceanMaps(displacement=disp, normal=normal)
 
@@ -129,18 +148,6 @@ step.__doc__ = """Advance every cascade by dt and synthesize maps (jitted).
 Time advances before modulation (wave_generator.gd:101-103). The state
 buffer is donated: foam updates in place, HBM-resident, no host traffic.
 """
-
-
-class RuntimeCascade:
-    """CascadeParams view with per-step derived foam rates attached."""
-
-    def __init__(self, p: CascadeParams, grow, decay):
-        self._p = p
-        self.foam_grow_rate = grow
-        self.foam_decay_rate = decay
-
-    def __getattr__(self, name):
-        return getattr(self._p, name)
 
 
 @functools.partial(jax.jit, static_argnums=0, donate_argnums=1)
@@ -157,18 +164,24 @@ def step_cascade(config: SimConfig, state: OceanState, params: CascadeParams,
     dt = jnp.asarray(dt, jnp.float32)
     t_new = state.time + dt
     i = jnp.asarray(cascade_index, jnp.int32)
+    n = config.map_size
+    fold = config.fold_sign
 
     p = jax.tree.map(lambda x: x[i], params)
+    layers = modulate_ops.modulate_planes(
+        state.h0[i], state.h0nc[i], p.tile_length, config.depth, t_new[i], config.g)
+    fields = fft.ifft2_packed_planes(
+        layers, impl=config.resolved_fft_impl(), fold_sign=fold)
     grow, decay = _foam_rates(p, dt)
-    p_rt = RuntimeCascade(p, grow, decay)
-    d, nm, foam_i = _cascade_maps(
-        config, state.h0[i], state.h0nc[i], state.foam[i], t_new[i], p_rt)
+    d, nm, foam_i = unpack_ops.unpack_planes(
+        fields, state.foam[i], p.whitecap, grow, decay,
+        pre_shifted=fold, map_dtype=config.resolved_map_dtype())
 
     foam = jax.lax.dynamic_update_index_in_dim(state.foam, foam_i, i, 0)
-    c, n = state.foam.shape[0], config.map_size
+    c = state.foam.shape[0]
     dtype = config.resolved_map_dtype()
-    disp = jnp.zeros((c, n, n, 3), dtype).at[i].set(d)
-    normal = jnp.zeros((c, n, n, 4), dtype).at[i].set(nm)
+    disp = jnp.zeros((c, 3, n, n), dtype).at[i].set(d)
+    normal = jnp.zeros((c, 4, n, n), dtype).at[i].set(nm)
     new_state = OceanState(h0=state.h0, h0nc=state.h0nc, foam=foam, time=t_new)
     return new_state, OceanMaps(displacement=disp, normal=normal)
 
@@ -223,8 +236,8 @@ class Ocean:
         c, n = params.num_cascades, map_size
         dtype = self.config.resolved_map_dtype()
         self.maps = OceanMaps(
-            displacement=jnp.zeros((c, n, n, 3), dtype),
-            normal=jnp.zeros((c, n, n, 4), dtype),
+            displacement=jnp.zeros((c, 3, n, n), dtype),
+            normal=jnp.zeros((c, 4, n, n), dtype),
         )
 
     @property
@@ -258,7 +271,7 @@ class Ocean:
         if not self._dirty.any():
             return
         h0, h0nc = generate_spectrum(self.config, self.params)
-        mask = jnp.asarray(self._dirty)[:, None, None]
+        mask = jnp.asarray(self._dirty)[:, None, None, None]
         self.state = self.state.replace(
             h0=jnp.where(mask, h0, self.state.h0),
             h0nc=jnp.where(mask, h0nc, self.state.h0nc),

@@ -108,3 +108,25 @@ def ifft2_packed(x: jax.Array, impl: str = "xla", fold_sign: bool = False) -> ja
     y = idft_rows(x, impl, fold_sign)           # handles (-1)^x
     y = jnp.swapaxes(y, -2, -1)
     return idft_rows(y, impl, fold_sign)        # handles (-1)^y
+
+
+def ifft2_packed_planes(x: jax.Array, impl: str = "xla",
+                        fold_sign: bool = True) -> jax.Array:
+    """Plane-pair front end: x is (..., 2, N, N) fp32 (Re, Im) planes.
+
+    impl "pallas" runs the fused VMEM-resident TPU kernel (ops/pallas_fft.py);
+    "fourstep" runs that kernel's jnp algebra twin; other impls route through
+    the complex tiers above (fine under jit — only HBM-resident complex64 and
+    host transfers are problematic on TPU).
+    """
+    from . import pallas_fft  # local import to avoid cycles
+
+    if impl == "pallas" or impl == "fourstep":
+        lead = x.shape[:-3]
+        flat = x.reshape((-1,) + x.shape[-3:])
+        fn = (pallas_fft.ifft2_packed_planes_pallas if impl == "pallas"
+              else pallas_fft.fourstep_ifft2_planes)
+        return fn(flat, fold_sign=fold_sign).reshape(x.shape)
+    z = jax.lax.complex(x[..., 0, :, :], x[..., 1, :, :])
+    out = ifft2_packed(z, impl=impl, fold_sign=fold_sign)
+    return jnp.stack([jnp.real(out), jnp.imag(out)], axis=-3)

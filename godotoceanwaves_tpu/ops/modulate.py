@@ -72,3 +72,58 @@ def modulate(
     l2 = dhy_dz + 1j * dhx_dx
     l3 = dhz_dz + 1j * dhz_dx
     return jnp.stack([l0, l1, l2, l3])
+
+
+def modulate_planes(
+    h0: jax.Array,       # (2, rows, N) float32 — (Re, Im) of h0(k)
+    h0nc: jax.Array,     # (2, rows, N) float32 — (Re, Im) of conj(h0(-k))
+    tile_length,
+    depth,
+    time,
+    g: float = spectra.G,
+    y_offset: int | jax.Array = 0,
+) -> jax.Array:
+    """Plane-pair (complex-free) form of `modulate`: (4, 2, rows, N) float32.
+
+    Identical math to the complex version with the packed layers reduced to
+    closed real forms (derived from spectrum_modulate.glsl:71-89):
+
+      L0 = (1 + ku_y) * (i h)            L2 = (k_x - k_y ku_y) * (i h)
+      L1 = i h ku_x - h k_y              L3 = -ku_x * (h * (k_x + i k_y))
+
+    fp32 planes are the pipeline's native representation on TPU: interleaved
+    complex64 tiles badly, and the axon backend cannot transfer complex
+    buffers at all (utils/hostio.py).
+    """
+    rows, n = h0.shape[-2], h0.shape[-1]
+    idx = jnp.arange(n, dtype=jnp.float32) - jnp.float32(n) * 0.5
+    idy = (jnp.arange(rows, dtype=jnp.float32) + jnp.asarray(y_offset, jnp.float32)
+           - jnp.float32(n) * 0.5)
+    kx = jnp.broadcast_to(idx[None, :] * (jnp.float32(2.0 * jnp.pi) / tile_length[0]), (rows, n))
+    ky = jnp.broadcast_to(idy[:, None] * (jnp.float32(2.0 * jnp.pi) / tile_length[1]), (rows, n))
+    k = jnp.sqrt(kx * kx + ky * ky) + jnp.float32(1e-6)
+    kux = kx / k
+    kuy = ky / k
+
+    phase = spectra.deep_dispersion(k, depth, g) * time
+    c = jnp.cos(phase)
+    s = jnp.sin(phase)
+    h0r, h0i = h0[0], h0[1]
+    ncr, nci = h0nc[0], h0nc[1]
+    # h = h0 e^{i w t} + conj(h0(-k)) e^{-i w t}  (glsl:62-68)
+    hr = c * (h0r + ncr) + s * (nci - h0i)
+    hi = s * (h0r - ncr) + c * (h0i + nci)
+
+    a0 = 1.0 + kuy
+    l0r, l0i = -hi * a0, hr * a0
+    l1r, l1i = -hi * kux - hr * ky, hr * kux - hi * ky
+    a2 = kx - ky * kuy
+    l2r, l2i = -hi * a2, hr * a2
+    l3r = kux * (hi * ky - hr * kx)
+    l3i = -kux * (hr * ky + hi * kx)
+    return jnp.stack([
+        jnp.stack([l0r, l0i]),
+        jnp.stack([l1r, l1i]),
+        jnp.stack([l2r, l2i]),
+        jnp.stack([l3r, l3i]),
+    ])

@@ -65,3 +65,52 @@ def unpack(
     denom_z = 1.0 + jnp.abs(dhz_dz)
     normal = jnp.stack([dhy_dx / denom_x, dhy_dz / denom_z, dhx_dx, foam], axis=-1)
     return displacement.astype(map_dtype), normal.astype(map_dtype), foam
+
+
+def unpack_planes(
+    fields: jax.Array,     # (4, 2, N, N) float32 — IFFT'd layer planes
+    foam_prev: jax.Array,  # (N, N) float32
+    whitecap,
+    foam_grow_rate,
+    foam_decay_rate,
+    pre_shifted: bool = True,
+    map_dtype=jnp.float32,
+    y_offset: int | jax.Array = 0,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Channel-first plane form of `unpack`.
+
+    Returns (displacement (3, N, N), normal (4, N, N), foam (N, N) fp32).
+    Channel-first keeps each map plane a contiguous (N, N) tile grid — the
+    TPU-native layout (a trailing 3/4-channel axis would waste 124/128 lanes).
+    """
+    rows, n = fields.shape[-2], fields.shape[-1]
+    if pre_shifted:
+        sign = jnp.float32(1.0)
+    else:
+        ix = jax.lax.broadcasted_iota(jnp.int32, (rows, n), 1)
+        iy = jax.lax.broadcasted_iota(jnp.int32, (rows, n), 0) + jnp.asarray(y_offset, jnp.int32)
+        sign = jnp.where((ix + iy) % 2 == 0, jnp.float32(1.0), jnp.float32(-1.0))
+
+    hx = fields[0, 0] * sign
+    hy = fields[0, 1] * sign
+    hz = fields[1, 0] * sign
+    dhy_dx = fields[1, 1] * sign
+    dhy_dz = fields[2, 0] * sign
+    dhx_dx = fields[2, 1] * sign
+    dhz_dz = fields[3, 0] * sign
+    dhz_dx = fields[3, 1] * sign
+
+    displacement = jnp.stack([hx, hy, hz])
+
+    jacobian = (1.0 + dhx_dx) * (1.0 + dhz_dz) - dhz_dx * dhz_dx
+    foam_factor = -jnp.minimum(0.0, jacobian - whitecap)
+    foam = foam_prev * jnp.exp(-foam_decay_rate) + foam_factor * foam_grow_rate
+    foam = jnp.clip(foam, 0.0, 1.0)
+
+    normal = jnp.stack([
+        dhy_dx / (1.0 + jnp.abs(dhx_dx)),
+        dhy_dz / (1.0 + jnp.abs(dhz_dz)),
+        dhx_dx,
+        foam,
+    ])
+    return displacement.astype(map_dtype), normal.astype(map_dtype), foam

@@ -92,8 +92,9 @@ def multipatch_params(base: CascadeParams, num_patches: int, seed: int = 0
 
 
 def _state_specs() -> OceanState:
-    gridspec = P(PATCH_AXIS, None, ROWS_AXIS, None)
-    return OceanState(h0=gridspec, h0nc=gridspec, foam=gridspec,
+    planespec = P(PATCH_AXIS, None, None, ROWS_AXIS, None)   # (P, C, 2, N, N)
+    return OceanState(h0=planespec, h0nc=planespec,
+                      foam=P(PATCH_AXIS, None, ROWS_AXIS, None),
                       time=P(PATCH_AXIS, None))
 
 
@@ -102,23 +103,25 @@ def _params_specs(params: CascadeParams) -> CascadeParams:
 
 
 def _maps_specs() -> OceanMaps:
-    spec = P(PATCH_AXIS, None, ROWS_AXIS, None, None)
+    spec = P(PATCH_AXIS, None, None, ROWS_AXIS, None)        # (P, C, ch, N, N)
     return OceanMaps(displacement=spec, normal=spec)
 
 
 def _local_generate(config: SimConfig, params: CascadeParams, rows_local: int,
                     y_offset) -> tuple[jax.Array, jax.Array]:
-    """Per-shard spectrum generation: (P_l, C, rows_local, N) blocks."""
+    """Per-shard spectrum generation: (P_l, C, 2, rows_local, N) plane blocks."""
     def one(p):
         fetch_m = p.fetch_length * 1e3
         alpha = spectra.jonswap_alpha(p.wind_speed, fetch_m, config.g)
         omega_p = spectra.jonswap_peak_angular_frequency(p.wind_speed, fetch_m, config.g)
-        return initial_state.build_initial_spectrum(
+        h0, h0nc = initial_state.build_initial_spectrum(
             config.map_size, p.spectrum_seed, p.tile_length, alpha, omega_p,
             p.wind_speed, jnp.deg2rad(p.wind_direction), config.depth,
             p.swell, p.detail, p.spread, config.g,
             y_offset=y_offset, rows=rows_local,
         )
+        return (jnp.stack([jnp.real(h0), jnp.imag(h0)]),
+                jnp.stack([jnp.real(h0nc), jnp.imag(h0nc)]))
     return jax.vmap(jax.vmap(one))(params)
 
 
@@ -157,8 +160,15 @@ def make_multichip_step(mesh: Mesh, config: SimConfig):
     rows_dev = mesh.shape[ROWS_AXIS]
     n = config.map_size
     rows_local = n // rows_dev
-    impl = "xla" if config.resolved_fft_impl() == "xla" and rows_dev == 1 else (
-        config.resolved_fft_impl() if config.resolved_fft_impl() != "xla" else "matmul")
+    resolved = config.resolved_fft_impl()
+    if resolved == "xla":
+        # jnp.fft cannot run on a row-shard (and rides poorly on some TPU
+        # backends); per-shard passes use the matmul tier instead.
+        impl = "xla" if rows_dev == 1 else "matmul"
+    elif resolved in ("pallas", "fourstep"):
+        impl = "matmul"  # complex per-shard path; Pallas tier lands later
+    else:
+        impl = resolved
     map_dtype = config.resolved_map_dtype()
 
     def local_step(state, params, dt):
@@ -168,14 +178,16 @@ def make_multichip_step(mesh: Mesh, config: SimConfig):
 
         def per_cascade(h0, h0nc, foam, t, p):
             grow, decay = _foam_rates(p, dt)
-            layers = modulate_ops.modulate(
+            layers = modulate_ops.modulate_planes(
                 h0, h0nc, p.tile_length, config.depth, t, config.g, y_offset=y0)
+            z = jax.lax.complex(layers[:, 0], layers[:, 1])
             if rows_dev == 1:
-                out = fft.ifft2_packed(layers, impl=impl, fold_sign=True)
+                out = fft.ifft2_packed(z, impl=impl, fold_sign=True)
             else:
-                out = ifft2_packed_sharded(layers, ROWS_AXIS, impl=impl, fold_sign=True)
-            return unpack_ops.unpack(
-                out, foam, p.whitecap, grow, decay,
+                out = ifft2_packed_sharded(z, ROWS_AXIS, impl=impl, fold_sign=True)
+            fields = jnp.stack([jnp.real(out), jnp.imag(out)], axis=1)
+            return unpack_ops.unpack_planes(
+                fields, foam, p.whitecap, grow, decay,
                 pre_shifted=True, map_dtype=map_dtype)
 
         disp, normal, foam = jax.vmap(jax.vmap(per_cascade))(

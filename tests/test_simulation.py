@@ -20,7 +20,7 @@ def test_init_state_shapes_and_time_offsets():
     cfg = small_config()
     params = default_cascades()
     state = init_state(cfg, params)
-    assert state.h0.shape == (3, N, N) and state.h0.dtype == jnp.complex64
+    assert state.h0.shape == (3, 2, N, N) and state.h0.dtype == jnp.float32
     assert state.foam.shape == (3, N, N) and state.foam.dtype == jnp.float32
     # water.gd:32 — time = 120.0 + pi*i
     np.testing.assert_allclose(
@@ -33,8 +33,8 @@ def test_step_shapes_time_advance_and_determinism():
     state = init_state(cfg, params)
     t_before = np.asarray(state.time).copy()
     s1, maps1 = step(cfg, state, params, 0.02)
-    assert maps1.displacement.shape == (3, N, N, 3)
-    assert maps1.normal.shape == (3, N, N, 4)
+    assert maps1.displacement.shape == (3, 3, N, N)
+    assert maps1.normal.shape == (3, 4, N, N)
     np.testing.assert_allclose(np.asarray(s1.time), t_before + 0.02, rtol=1e-6)
 
     state_b = init_state(cfg, params)
@@ -61,7 +61,7 @@ def test_foam_accumulates_and_normal_alpha_matches_state():
         state, maps = step(cfg, state, params, 0.1)
     assert float(jnp.max(state.foam)) > 0.0  # big-wave preset does produce foam
     np.testing.assert_allclose(
-        np.asarray(maps.normal[..., 3]), np.asarray(state.foam), atol=1e-6)
+        np.asarray(maps.normal[:, 3]), np.asarray(state.foam), atol=1e-6)
 
 
 def test_simulate_scan_equals_repeated_step():
@@ -181,7 +181,7 @@ def test_single_cascade_params():
     cfg = small_config()
     state = init_state(cfg, stacked)
     _, maps = step(cfg, state, stacked, 0.02)
-    assert maps.displacement.shape == (1, N, N, 3)
+    assert maps.displacement.shape == (1, 3, N, N)
 
 
 def test_map_size_validation():
