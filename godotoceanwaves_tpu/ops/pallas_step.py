@@ -1,0 +1,254 @@
+"""The fused per-cascade ocean step: modulate -> 2D IFFT -> unpack, one kernel.
+
+Every HBM round-trip of the 16-layer working set costs ~0.9 ms on v5e
+(536 MB at ~600 GB/s measured), so staging modulate / FFT / unpack as separate
+XLA ops can never reach the <1 ms/frame target. This kernel reads ONLY the
+initial spectra + foam (~21 MB/cascade) and writes ONLY the maps + foam
+(~18 MB/cascade); the packed layers and FFT intermediates never leave VMEM.
+
+Reference pipeline being fused (one grid program per cascade):
+  spectrum_modulate.glsl  -> `_h_tiles` + `_layer_tiles` (closed real forms)
+  fft_compute/transpose   -> `pallas_fft._rows_pass` + in-VMEM strip transposes
+  fft_unpack.glsl         -> `_consume_*` (ifftshift sign pre-folded in the
+                             FFT twiddles; persistent foam recurrence)
+
+Everything is looped over 128-row tiles with explicit VMEM scratch refs —
+operating on whole (N, N) planes as SSA values makes Mosaic spill ~110 MB of
+vector registers (measured).
+
+Layer/field map (spectrum_modulate.glsl:84-89 / fft_unpack.glsl:45-67):
+  L0 = hx + i hy;  L1 = hz + i dhy_dx;  L2 = dhy_dz + i dhx_dx;
+  L3 = dhz_dz + i dhz_dx
+so displacement completes after L1, and normal/foam after L3 (dhy_dx, dhy_dz,
+dhx_dx are parked in keeper planes meanwhile).
+"""
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from . import pallas_fft as pf
+
+LANES = 128
+G_DEFAULT = 9.81
+
+# scalar vector layout (per cascade): indices into the SMEM params row
+S_TIME, S_LX, S_LY, S_WHITECAP, S_GROW, S_DECAY = range(6)
+NUM_SCALARS = 8
+
+
+def _k_tiles(n: int, rt: int, lx, ly):
+    """Wavenumber tiles for global rows [rt*128, rt*128+128) (fp32).
+
+    Centered grid (id - N/2) * 2*pi/L (spectrum_compute.glsl:104-105).
+    """
+    tr = LANES
+    col = jax.lax.broadcasted_iota(jnp.int32, (tr, n), 1).astype(jnp.float32)
+    row = (jax.lax.broadcasted_iota(jnp.int32, (tr, n), 0).astype(jnp.float32)
+           + jnp.float32(rt * tr))
+    half = jnp.float32(n) * 0.5
+    two_pi = jnp.float32(2.0 * np.pi)
+    kx = (col - half) * (two_pi / lx)
+    ky = (row - half) * (two_pi / ly)
+    k = jnp.sqrt(kx * kx + ky * ky) + jnp.float32(1e-6)
+    return kx, ky, k
+
+
+def _layer_tiles(layer: int, hr, hi, kx, ky, k):
+    """One packed layer's (re, im) tiles from the modulated h tile.
+
+    Closed real forms of spectrum_modulate.glsl:71-89 (see
+    modulate.modulate_planes):
+      L0 = (1 + ku_y) i h          L2 = (k_x - k_y ku_y) i h
+      L1 = i h ku_x - h k_y        L3 = -ku_x (h (k_x + i k_y))
+    """
+    kux = kx / k
+    kuy = ky / k
+    if layer == 0:
+        a = 1.0 + kuy
+        return -hi * a, hr * a
+    if layer == 1:
+        return -hi * kux - hr * ky, hr * kux - hi * ky
+    if layer == 2:
+        a = kx - ky * kuy
+        return -hi * a, hr * a
+    assert layer == 3
+    return kux * (hi * ky - hr * kx), -kux * (hr * ky + hi * kx)
+
+
+def _sigma_rows_tile(plane_ref, q_prime: int, q: int, n: int):
+    """(128, N) tile q_prime of sigma_inv-row-permuted `plane_ref`.
+
+    The four-step digit un-swap as a row gather (see pallas_fft._row_unswap):
+    output row q_prime*128 + e*Q + d <- source row d*128 + q_prime*E + e,
+    i.e. Q contiguous E-row chunks, interleaved.
+    """
+    if q == 1:
+        return plane_ref[q_prime * LANES:(q_prime + 1) * LANES, :]
+    e = LANES // q
+    chunks = [plane_ref[d * LANES + q_prime * e: d * LANES + q_prime * e + e, :]
+              for d in range(q)]
+    z = jnp.stack(chunks)            # (Q, E, n)
+    z = jnp.swapaxes(z, 0, 1)        # (E, Q, n)
+    return z.reshape(LANES, n)
+
+
+def _transpose_into(src_ref, dst_ref, n: int):
+    """dst[:, strip] = src[strip, :].T for both planes (strip = 128 rows)."""
+    for p in range(2):
+        for i in range(n // LANES):
+            sl = slice(i * LANES, (i + 1) * LANES)
+            dst_ref[p, :, sl] = src_ref[p, sl, :].T
+
+
+def _sigma_rows_into(src_ref, dst_ref, q: int, n: int):
+    """dst = sigma_inv row permutation of src, for both planes."""
+    for p in range(2):
+        for qp in range(n // LANES):
+            sl = slice(qp * LANES, (qp + 1) * LANES)
+            dst_ref[p, sl, :] = _sigma_rows_tile(src_ref.at[p], qp, q, n)
+
+
+def _step_kernel(scal_ref, w_ref, radix_ref, t4_ref,
+                 h0_ref, h0nc_ref, foam_ref,
+                 disp_ref, norm_ref, foam_out_ref,
+                 h_scr, a_scr, b_scr, k1_scr, k2_scr, k3_scr,
+                 *, n: int, depth: float, g: float, map_dtype):
+    q = n // LANES
+    nt = n // LANES
+    w = w_ref[:]
+    radix_tw = radix_ref[:]
+    t4 = t4_ref[:]
+    t = scal_ref[0, 0, S_TIME]
+    lx = scal_ref[0, 0, S_LX]
+    ly = scal_ref[0, 0, S_LY]
+    whitecap = scal_ref[0, 0, S_WHITECAP]
+    grow = scal_ref[0, 0, S_GROW]
+    decay = scal_ref[0, 0, S_DECAY]
+
+    # --- modulation: h(k, t) tiles, computed once (spectrum_modulate.glsl:62-68)
+    for rt in range(nt):
+        sl = slice(rt * LANES, (rt + 1) * LANES)
+        _, _, k = _k_tiles(n, rt, lx, ly)
+        phase = jnp.sqrt(jnp.float32(g) * k * jnp.tanh(k * jnp.float32(depth))) * t
+        c = jnp.cos(phase)
+        s = jnp.sin(phase)
+        h0r = h0_ref[0, 0, sl, :]
+        h0i = h0_ref[0, 1, sl, :]
+        ncr = h0nc_ref[0, 0, sl, :]
+        nci = h0nc_ref[0, 1, sl, :]
+        h_scr[0, sl, :] = c * (h0r + ncr) + s * (nci - h0i)
+        h_scr[1, sl, :] = s * (h0r - ncr) + c * (h0i + nci)
+
+    for layer in range(4):
+        # pass 1 (rows of the spectrum), fused with layer synthesis
+        for rt in range(nt):
+            sl = slice(rt * LANES, (rt + 1) * LANES)
+            kx, ky, k = _k_tiles(n, rt, lx, ly)
+            lr, li = _layer_tiles(layer, h_scr[0, sl, :], h_scr[1, sl, :], kx, ky, k)
+            fr, fi = pf._rows_pass(lr, li, w, radix_tw, t4, n)
+            b_scr[0, sl, :] = fr
+            b_scr[1, sl, :] = fi
+        # transpose, pass 2 (rows of the half-transformed field)
+        _transpose_into(b_scr, a_scr, n)
+        for rt in range(nt):
+            sl = slice(rt * LANES, (rt + 1) * LANES)
+            fr, fi = pf._rows_pass(a_scr[0, sl, :], a_scr[1, sl, :], w, radix_tw, t4, n)
+            b_scr[0, sl, :] = fr
+            b_scr[1, sl, :] = fi
+        # digit un-swap on both axes: rowperm . T . rowperm . T (pallas_fft._chain)
+        _transpose_into(b_scr, a_scr, n)
+        _sigma_rows_into(a_scr, b_scr, q, n)
+        _transpose_into(b_scr, a_scr, n)
+        # final sigma_inv row gather fused into the consumers below: field
+        # tile qp of (re, im) = _sigma_rows_tile(a_scr.at[p], qp)
+
+        for qp in range(nt):
+            sl = slice(qp * LANES, (qp + 1) * LANES)
+            re = _sigma_rows_tile(a_scr.at[0], qp, q, n)
+            im = _sigma_rows_tile(a_scr.at[1], qp, q, n)
+            if layer == 0:
+                disp_ref[0, 0, sl, :] = re.astype(map_dtype)   # hx
+                disp_ref[0, 1, sl, :] = im.astype(map_dtype)   # hy
+            elif layer == 1:
+                disp_ref[0, 2, sl, :] = re.astype(map_dtype)   # hz
+                k1_scr[sl, :] = im                             # dhy_dx
+            elif layer == 2:
+                k2_scr[sl, :] = re                             # dhy_dz
+                k3_scr[sl, :] = im                             # dhx_dx
+                # normal.xy half-ready: x needs only dhx_dx (fft_unpack.glsl:66)
+                norm_ref[0, 0, sl, :] = (k1_scr[sl, :]
+                                         / (1.0 + jnp.abs(im))).astype(map_dtype)
+                norm_ref[0, 2, sl, :] = im.astype(map_dtype)
+            else:
+                dhz_dz, dhz_dx = re, im
+                dhx_dx = k3_scr[sl, :]
+                jacobian = (1.0 + dhx_dx) * (1.0 + dhz_dz) - dhz_dx * dhz_dx
+                foam_factor = -jnp.minimum(0.0, jacobian - whitecap)
+                foam = foam_ref[0, sl, :] * jnp.exp(-decay) + foam_factor * grow
+                foam = jnp.clip(foam, 0.0, 1.0)
+                norm_ref[0, 1, sl, :] = (k2_scr[sl, :]
+                                         / (1.0 + jnp.abs(dhz_dz))).astype(map_dtype)
+                norm_ref[0, 3, sl, :] = foam.astype(map_dtype)
+                foam_out_ref[0, sl, :] = foam
+
+
+def fused_cascade_step(h0, h0nc, foam, scalars, *, depth: float,
+                       g: float = G_DEFAULT, map_dtype=jnp.bfloat16):
+    """Run the fused step for C cascades.
+
+    h0/h0nc: (C, 2, N, N) fp32 planes; foam: (C, N, N) fp32;
+    scalars: (C, 1, NUM_SCALARS) fp32 rows [t, Lx, Ly, whitecap, grow, decay, ...].
+    Returns (displacement (C,3,N,N), normal (C,4,N,N), foam (C,N,N) fp32).
+    """
+    c, two, n, n2 = h0.shape
+    assert two == 2 and n == n2 and n % LANES == 0, h0.shape
+    w = pf.w128_stack(n, True)
+    radix_tw, t4 = pf.twiddle_inputs(n, True)
+    kernel = functools.partial(_step_kernel, n=n, depth=depth, g=g,
+                               map_dtype=map_dtype)
+    cs = lambda shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape),
+                                    memory_space=pltpu.VMEM)
+    grid_block = lambda *shape: pl.BlockSpec(
+        (1,) + shape, lambda i: (i,) + (0,) * len(shape),
+        memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=(c,),
+        in_specs=[
+            pl.BlockSpec((1, 1, NUM_SCALARS), lambda i: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
+            cs(w.shape), cs(radix_tw.shape), cs(t4.shape),
+            grid_block(2, n, n), grid_block(2, n, n), grid_block(n, n),
+        ],
+        out_specs=(grid_block(3, n, n), grid_block(4, n, n), grid_block(n, n)),
+        out_shape=(
+            jax.ShapeDtypeStruct((c, 3, n, n), map_dtype),
+            jax.ShapeDtypeStruct((c, 4, n, n), map_dtype),
+            jax.ShapeDtypeStruct((c, n, n), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, n, n), jnp.float32),   # h planes
+            pltpu.VMEM((2, n, n), jnp.float32),   # ping
+            pltpu.VMEM((2, n, n), jnp.float32),   # pong
+            pltpu.VMEM((n, n), jnp.float32),      # keeper: dhy_dx
+            pltpu.VMEM((n, n), jnp.float32),      # keeper: dhy_dz
+            pltpu.VMEM((n, n), jnp.float32),      # keeper: dhx_dx
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=127 * 1024 * 1024),
+    )(scalars, w, radix_tw, t4, h0, h0nc, foam)
+
+
+def pack_scalars(time, tile_length, whitecap, grow, decay) -> jax.Array:
+    """(C, 1, NUM_SCALARS) fp32 scalar rows for `fused_cascade_step`."""
+    zeros = jnp.zeros_like(time)
+    return jnp.stack([
+        time, tile_length[..., 0], tile_length[..., 1],
+        whitecap, grow, decay, zeros, zeros,
+    ], axis=-1).astype(jnp.float32)[:, None, :]

@@ -1,0 +1,134 @@
+"""Shading (C12) and spray (C13) array-math tests."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from godotoceanwaves_tpu import Ocean, OceanMaps
+from godotoceanwaves_tpu.models import shading, spray
+
+
+def _maps(n=64, c=2):
+    ocean = Ocean(map_size=n, updates_per_second=0)
+    for _ in range(10):
+        maps = ocean.update(0.1)
+    return ocean, maps
+
+
+def test_bilinear_constant_and_wrap():
+    n = 16
+    planes = jnp.full((2, n, n), 3.5)
+    uv = jnp.asarray([[0.13, 0.77], [1.4, -0.3], [5.0, 5.0]])
+    out = shading.sample_bilinear(planes, uv)
+    np.testing.assert_allclose(np.asarray(out), 3.5, rtol=1e-6)
+
+
+def test_bilinear_exact_at_texel_centers():
+    n = 8
+    rs = np.random.RandomState(0)
+    vals = rs.rand(1, n, n).astype(np.float32)
+    planes = jnp.asarray(vals)
+    # texel (ix, iy) center is at uv = ((ix+0.5)/n, (iy+0.5)/n)
+    ix, iy = 3, 5
+    uv = jnp.asarray([[(ix + 0.5) / n, (iy + 0.5) / n]])
+    out = shading.sample_bilinear(planes, uv)
+    np.testing.assert_allclose(float(out[0, 0]), vals[0, iy, ix], rtol=1e-6)
+
+
+def test_bicubic_reproduces_constant_and_smooths():
+    n = 32
+    planes = jnp.full((1, n, n), 2.0)
+    uv = jnp.asarray([[0.4, 0.6]])
+    np.testing.assert_allclose(float(shading.sample_bicubic(planes, uv)[0, 0]), 2.0, rtol=1e-5)
+
+    spike = jnp.zeros((1, n, n)).at[0, 16, 16].set(1.0)
+    uv_c = jnp.asarray([[(16 + 0.5) / n, (16 + 0.5) / n]])
+    bic = float(shading.sample_bicubic(spike, uv_c)[0, 0])
+    bil = float(shading.sample_bilinear(spike, uv_c)[0, 0])
+    assert bic < bil  # B-spline smooths the spike
+
+
+def test_cascade_displacement_scales_linearly():
+    ocean, maps = _maps()
+    scales = ocean.params.map_scales()
+    xz = jnp.asarray([[1.0, 2.0], [10.0, -3.0]])
+    d1 = shading.cascade_displacement(maps.displacement, scales, xz)
+    scales2 = scales.at[:, 2].mul(2.0)
+    d2 = shading.cascade_displacement(maps.displacement, scales2, xz)
+    np.testing.assert_allclose(np.asarray(d2), 2 * np.asarray(d1), rtol=1e-5)
+    assert np.isfinite(np.asarray(d1)).all()
+
+
+def test_distance_falloff_kills_far_displacement():
+    ocean, maps = _maps()
+    scales = ocean.params.map_scales()
+    far = jnp.asarray([[2000.0, 0.0]])
+    d = shading.cascade_displacement(maps.displacement, scales, far,
+                                     camera_xz=jnp.zeros(2))
+    assert np.abs(np.asarray(d)).max() < 1e-4
+
+
+def test_shade_output_plausible():
+    ocean, maps = _maps()
+    scales = ocean.params.map_scales()
+    xz = jnp.stack(jnp.meshgrid(jnp.linspace(0, 50, 8), jnp.linspace(0, 50, 8)), -1)
+    grad = shading.cascade_gradient(maps.normal, scales, xz)
+    view = jnp.broadcast_to(jnp.asarray([0.0, 0.8, -0.6]), grad.shape[:-1] + (3,))
+    rgb = shading.shade(grad, jnp.zeros(grad.shape[:-1]), view,
+                        jnp.asarray([0.0, 0.7, 0.714]), jnp.full(grad.shape[:-1], 30.0))
+    rgb = np.asarray(rgb)
+    assert np.isfinite(rgb).all()
+    assert rgb.min() >= 0.0 and rgb.max() < 10.0
+
+
+def test_render_ocean_image():
+    ocean, maps = _maps()
+    img = shading.render_ocean(maps, ocean.params.map_scales(), width=64, height=36)
+    img = np.asarray(img)
+    assert img.shape == (36, 64, 3)
+    assert np.isfinite(img).all()
+    assert img.std() > 0.01  # not a flat frame
+
+
+def test_spray_lifecycle():
+    ocean, maps = _maps()
+    scales = ocean.params.map_scales()
+    params = spray.SprayParams(num_particles=256, emitter_extent=40.0)
+    st = spray.spray_init(params)
+    assert st.start_pos.shape == (256, 3)
+    assert bool((st.start_time >= 0).all())
+
+    step = jax.jit(lambda s, t: spray.spray_step(params, s, maps, scales, t))
+    st1, out1 = step(st, 1.0)
+    for key, shape in [("position", (256, 3)), ("scale", (256, 3)),
+                       ("dissolve", (256,)), ("visible", (256,))]:
+        assert out1[key].shape == shape
+    assert np.isfinite(np.asarray(out1["position"])).all()
+
+    # particles started by t exceeding start_time
+    st2, out2 = step(st1, 4.0)
+    assert int(np.asarray(st2.has_started).sum()) > int(np.asarray(st1.has_started).sum())
+
+    # after a full system lifetime everything has recycled at least once
+    st3 = st2
+    for t in (7.0, 11.0, 14.0):
+        st3, _ = step(st3, t)
+    assert int(np.asarray(st3.cycle).min()) >= 1
+
+
+def test_spray_activation_requires_foam():
+    """With zero foam everywhere, no particle may activate (gdshader:91)."""
+    ocean, maps = _maps()
+    zero_normal = maps.normal.at[:, 3].set(0.0)
+    quiet = OceanMaps(displacement=maps.displacement, normal=zero_normal)
+    params = spray.SprayParams(num_particles=64, emitter_extent=30.0)
+    st = spray.spray_init(params)
+    for t in (1.0, 3.0, 5.0):
+        st, out = spray.spray_step(params, st, quiet, ocean.params.map_scales(), t)
+    assert not bool(np.asarray(st.active).any())
+
+
+def test_exp_impulse_peaks_at_inverse_k():
+    xs = jnp.linspace(0, 1, 201)
+    ys = np.asarray(spray.exp_impulse(xs, 10.0))
+    assert abs(xs[ys.argmax()] - 0.1) < 0.01
+    np.testing.assert_allclose(ys.max(), 1.0, atol=1e-3)
