@@ -1,0 +1,96 @@
+"""Demo app shell: the reference's main scene + ImGui panel, offline.
+
+Runs the default 3-cascade ocean (main.tscn presets), renders shaded frames
+with the C12 lighting model, optionally animates spray particles, and prints
+the live parameter/metrics panel — the capabilities of the reference's
+interactive shell (C1) re-expressed as a headless CLI.
+
+Examples:
+  python demo.py --frames 8 --out /tmp/ocean            # PNG frame sequence
+  python demo.py --gif /tmp/ocean.gif --frames 48       # animated GIF
+  python demo.py --map-size 512 --wind-speed 25 --panel
+"""
+from __future__ import annotations
+
+import argparse
+import pathlib
+import time
+
+import numpy as np
+
+from godotoceanwaves_tpu import Ocean
+from godotoceanwaves_tpu.models import shading, spray
+from godotoceanwaves_tpu.utils.observability import FrameStats, panel
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description=__doc__,
+                                 formatter_class=argparse.RawDescriptionHelpFormatter)
+    ap.add_argument("--map-size", type=int, default=256)
+    ap.add_argument("--frames", type=int, default=8)
+    ap.add_argument("--fps", type=float, default=25.0)
+    ap.add_argument("--width", type=int, default=960)
+    ap.add_argument("--height", type=int, default=540)
+    ap.add_argument("--warmup", type=int, default=30,
+                    help="simulation updates before the first rendered frame")
+    ap.add_argument("--wind-speed", type=float, default=None,
+                    help="override cascade 0 wind speed (m/s)")
+    ap.add_argument("--updates-per-second", type=float, default=0.0)
+    ap.add_argument("--spray", action="store_true", help="simulate spray particles")
+    ap.add_argument("--out", type=str, default=None, help="PNG frame directory")
+    ap.add_argument("--gif", type=str, default=None, help="animated GIF path")
+    ap.add_argument("--panel", action="store_true", help="print the parameter panel")
+    args = ap.parse_args()
+
+    ocean = Ocean(map_size=args.map_size,
+                  updates_per_second=args.updates_per_second)
+    if args.wind_speed is not None:
+        ocean.set_cascade(0, wind_speed=args.wind_speed)
+    stats = FrameStats()
+
+    dt = 1.0 / args.fps
+    maps = None
+    for _ in range(args.warmup):
+        maps = ocean.update(dt) or maps
+
+    spray_state = None
+    spray_params = None
+    if args.spray:
+        spray_params = spray.SprayParams(num_particles=4096, emitter_extent=60.0)
+        spray_state = spray.spray_init(spray_params)
+
+    frames = []
+    scales = ocean.params.map_scales()
+    now = 0.0
+    for i in range(args.frames):
+        t0 = time.perf_counter()
+        maps = ocean.update(dt) or maps
+        if spray_state is not None:
+            spray_state, _attrs = spray.spray_step(
+                spray_params, spray_state, maps, scales, now)
+        img = shading.render_ocean(maps, scales, width=args.width,
+                                   height=args.height)
+        arr = (np.asarray(img) ** (1 / 2.2) * 255).astype(np.uint8)
+        frames.append(arr)
+        stats.record(time.perf_counter() - t0)
+        now += dt
+
+    if args.out:
+        outdir = pathlib.Path(args.out)
+        outdir.mkdir(parents=True, exist_ok=True)
+        from PIL import Image
+        for i, arr in enumerate(frames):
+            Image.fromarray(arr).save(outdir / f"frame_{i:04d}.png")
+        print(f"wrote {len(frames)} frames to {outdir}")
+    if args.gif:
+        from PIL import Image
+        imgs = [Image.fromarray(a) for a in frames]
+        imgs[0].save(args.gif, save_all=True, append_images=imgs[1:],
+                     duration=int(1000 / args.fps), loop=0)
+        print(f"wrote {args.gif}")
+    if args.panel or not (args.out or args.gif):
+        print(panel(ocean, stats))
+
+
+if __name__ == "__main__":
+    main()

@@ -102,16 +102,23 @@ def stack_cascades(cascades: Sequence[CascadeParams]) -> CascadeParams:
     return jax.tree.map(lambda *xs: jnp.stack(xs), *cascades)
 
 
-def default_cascades(seed: int = 1234) -> CascadeParams:
+def default_cascades(seed: int = 1234, godot_seeds: bool = False) -> CascadeParams:
     """The reference demo scene's 3 cascades (main.tscn:43-83).
 
-    Per-cascade spectrum seeds are drawn from a host RNG seeded like the
-    orchestrator's fixed seed (water.gd:68-69, "This seed gives big waves!");
-    Godot's PCG stream is not reproduced bit-for-bit — the seeds are arbitrary
-    i.i.d. draws in the same [-10000, 10000]^2 range (water.gd:31).
+    Per-cascade spectrum seeds are drawn from a host RNG fixed like the
+    orchestrator's (water.gd:68-69, "This seed gives big waves!") in the same
+    [-10000, 10000]^2 range (water.gd:31). With `godot_seeds`, a pcg32
+    reconstruction of Godot's RandomNumberGenerator supplies the stream
+    (utils/godot_rng.py — best-effort bit parity; seeds are cosmetic).
     """
-    rng = np.random.RandomState(seed)
-    seeds = [tuple(int(v) for v in rng.randint(-10000, 10001, 2)) for _ in range(3)]
+    if godot_seeds:
+        from ..utils.godot_rng import GodotRNG
+        grng = GodotRNG(seed)
+        seeds = [(grng.randi_range(-10000, 10000), grng.randi_range(-10000, 10000))
+                 for _ in range(3)]
+    else:
+        rng = np.random.RandomState(seed)
+        seeds = [tuple(int(v) for v in rng.randint(-10000, 10001, 2)) for _ in range(3)]
     scene = [
         dict(tile_length=(88.0, 88.0), displacement_scale=1.0, normal_scale=1.0,
              wind_speed=10.0, wind_direction=20.0, fetch_length=150.0, swell=0.8,
