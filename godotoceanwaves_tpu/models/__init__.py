@@ -1,5 +1,6 @@
 """Models: cascade parameters, ocean simulation session, spray, shading."""
-from .cascade import CascadeParams, SimConfig, default_cascades, stack_cascades
+from .cascade import (CascadeParams, SimConfig, default_cascades,
+                      dual_wind_swell_cascades, stack_cascades)
 from .ocean import (
     Ocean,
     OceanMaps,
@@ -12,7 +13,8 @@ from .ocean import (
 )
 
 __all__ = [
-    "CascadeParams", "SimConfig", "default_cascades", "stack_cascades",
+    "CascadeParams", "SimConfig", "default_cascades",
+    "dual_wind_swell_cascades", "stack_cascades",
     "Ocean", "OceanMaps", "OceanState", "generate_spectrum", "init_state",
     "simulate", "step", "step_cascade",
 ]

@@ -135,6 +135,27 @@ def default_cascades(seed: int = 1234, godot_seeds: bool = False) -> CascadePara
     )
 
 
+def dual_wind_swell_cascades(seed: int = 77) -> CascadeParams:
+    """A two-spectrum ocean: local wind sea + long-fetch swell (config 5).
+
+    The wind cascade is short-fetch, broad-spread, high-detail chop; the swell
+    cascade is long-fetch, strongly swell-shaped (Horvath s_xi term,
+    spectrum_compute.glsl:84-85), narrow spread, long tile.
+    """
+    rng = np.random.RandomState(seed)
+    seeds = [tuple(int(v) for v in rng.randint(-10000, 10001, 2)) for _ in range(2)]
+    wind = CascadeParams.create(
+        tile_length=(64.0, 64.0), wind_speed=14.0, wind_direction=25.0,
+        fetch_length=80.0, swell=0.2, spread=0.35, detail=1.0,
+        whitecap=0.6, foam_amount=6.0, spectrum_seed=seeds[0])
+    swell = CascadeParams.create(
+        tile_length=(256.0, 256.0), wind_speed=22.0, wind_direction=-40.0,
+        fetch_length=900.0, swell=1.8, spread=0.08, detail=0.6,
+        displacement_scale=1.2, whitecap=1.2, foam_amount=1.0,
+        spectrum_seed=seeds[1])
+    return stack_cascades([wind, swell])
+
+
 @dataclasses.dataclass(frozen=True)
 class SimConfig:
     """Static simulation configuration (hashable; safe as a jit static arg).

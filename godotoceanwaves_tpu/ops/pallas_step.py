@@ -42,15 +42,16 @@ S_TIME, S_LX, S_LY, S_WHITECAP, S_GROW, S_DECAY = range(6)
 NUM_SCALARS = 8
 
 
-def _k_tiles(n: int, rt: int, lx, ly):
+def _k_tiles(n: int, rt, lx, ly):
     """Wavenumber tiles for global rows [rt*128, rt*128+128) (fp32).
 
     Centered grid (id - N/2) * 2*pi/L (spectrum_compute.glsl:104-105).
+    `rt` may be a traced loop index.
     """
     tr = LANES
     col = jax.lax.broadcasted_iota(jnp.int32, (tr, n), 1).astype(jnp.float32)
     row = (jax.lax.broadcasted_iota(jnp.int32, (tr, n), 0).astype(jnp.float32)
-           + jnp.float32(rt * tr))
+           + jnp.asarray(rt, jnp.float32) * tr)
     half = jnp.float32(n) * 0.5
     two_pi = jnp.float32(2.0 * np.pi)
     kx = (col - half) * (two_pi / lx)
@@ -81,18 +82,17 @@ def _layer_tiles(layer: int, hr, hi, kx, ky, k):
     return kux * (hi * ky - hr * kx), -kux * (hr * ky + hi * kx)
 
 
-def _sigma_rows_tile(plane_ref, q_prime: int, q: int, n: int):
+def _sigma_rows_tile(plane_ref, q_prime, q: int, n: int):
     """(128, N) tile q_prime of sigma_inv-row-permuted `plane_ref`.
 
     The four-step digit un-swap as a row gather (see pallas_fft._row_unswap):
     output row q_prime*128 + e*Q + d <- source row d*128 + q_prime*E + e,
-    i.e. Q contiguous E-row chunks, interleaved.
+    i.e. Q contiguous E-row chunks, interleaved. `q_prime` may be traced.
     """
     if q == 1:
-        return plane_ref[q_prime * LANES:(q_prime + 1) * LANES, :]
+        return plane_ref[pl.ds(q_prime * LANES, LANES), :]
     e = LANES // q
-    chunks = [plane_ref[d * LANES + q_prime * e: d * LANES + q_prime * e + e, :]
-              for d in range(q)]
+    chunks = [plane_ref[pl.ds(d * LANES + q_prime * e, e), :] for d in range(q)]
     z = jnp.stack(chunks)            # (Q, E, n)
     z = jnp.swapaxes(z, 0, 1)        # (E, Q, n)
     return z.reshape(LANES, n)
@@ -100,18 +100,22 @@ def _sigma_rows_tile(plane_ref, q_prime: int, q: int, n: int):
 
 def _transpose_into(src_ref, dst_ref, n: int):
     """dst[:, strip] = src[strip, :].T for both planes (strip = 128 rows)."""
-    for p in range(2):
-        for i in range(n // LANES):
-            sl = slice(i * LANES, (i + 1) * LANES)
-            dst_ref[p, :, sl] = src_ref[p, sl, :].T
+    def body(i, _):
+        for p in range(2):
+            strip = src_ref[p, pl.ds(i * LANES, LANES), :]
+            dst_ref[p, :, pl.ds(i * LANES, LANES)] = strip.T
+        return 0
+    jax.lax.fori_loop(0, n // LANES, body, 0)
 
 
 def _sigma_rows_into(src_ref, dst_ref, q: int, n: int):
     """dst = sigma_inv row permutation of src, for both planes."""
-    for p in range(2):
-        for qp in range(n // LANES):
-            sl = slice(qp * LANES, (qp + 1) * LANES)
-            dst_ref[p, sl, :] = _sigma_rows_tile(src_ref.at[p], qp, q, n)
+    def body(qp, _):
+        for p in range(2):
+            dst_ref[p, pl.ds(qp * LANES, LANES), :] = _sigma_rows_tile(
+                src_ref.at[p], qp, q, n)
+        return 0
+    jax.lax.fori_loop(0, n // LANES, body, 0)
 
 
 def _step_kernel(scal_ref, w_ref, radix_ref, t4_ref,
@@ -132,70 +136,80 @@ def _step_kernel(scal_ref, w_ref, radix_ref, t4_ref,
     decay = scal_ref[0, 0, S_DECAY]
 
     # --- modulation: h(k, t) tiles, computed once (spectrum_modulate.glsl:62-68)
-    for rt in range(nt):
-        sl = slice(rt * LANES, (rt + 1) * LANES)
+    def mod_body(rt, _):
+        ds = pl.ds(rt * LANES, LANES)
         _, _, k = _k_tiles(n, rt, lx, ly)
         phase = jnp.sqrt(jnp.float32(g) * k * jnp.tanh(k * jnp.float32(depth))) * t
         c = jnp.cos(phase)
         s = jnp.sin(phase)
-        h0r = h0_ref[0, 0, sl, :]
-        h0i = h0_ref[0, 1, sl, :]
-        ncr = h0nc_ref[0, 0, sl, :]
-        nci = h0nc_ref[0, 1, sl, :]
-        h_scr[0, sl, :] = c * (h0r + ncr) + s * (nci - h0i)
-        h_scr[1, sl, :] = s * (h0r - ncr) + c * (h0i + nci)
+        h0r = h0_ref[0, 0, ds, :]
+        h0i = h0_ref[0, 1, ds, :]
+        ncr = h0nc_ref[0, 0, ds, :]
+        nci = h0nc_ref[0, 1, ds, :]
+        h_scr[0, ds, :] = c * (h0r + ncr) + s * (nci - h0i)
+        h_scr[1, ds, :] = s * (h0r - ncr) + c * (h0i + nci)
+        return 0
+    jax.lax.fori_loop(0, nt, mod_body, 0)
 
     for layer in range(4):
         # pass 1 (rows of the spectrum), fused with layer synthesis
-        for rt in range(nt):
-            sl = slice(rt * LANES, (rt + 1) * LANES)
+        def pass1_body(rt, _, layer=layer):
+            ds = pl.ds(rt * LANES, LANES)
             kx, ky, k = _k_tiles(n, rt, lx, ly)
-            lr, li = _layer_tiles(layer, h_scr[0, sl, :], h_scr[1, sl, :], kx, ky, k)
+            lr, li = _layer_tiles(layer, h_scr[0, ds, :], h_scr[1, ds, :], kx, ky, k)
             fr, fi = pf._rows_pass(lr, li, w, radix_tw, t4, n)
-            b_scr[0, sl, :] = fr
-            b_scr[1, sl, :] = fi
+            b_scr[0, ds, :] = fr
+            b_scr[1, ds, :] = fi
+            return 0
+        jax.lax.fori_loop(0, nt, pass1_body, 0)
+
         # transpose, pass 2 (rows of the half-transformed field)
         _transpose_into(b_scr, a_scr, n)
-        for rt in range(nt):
-            sl = slice(rt * LANES, (rt + 1) * LANES)
-            fr, fi = pf._rows_pass(a_scr[0, sl, :], a_scr[1, sl, :], w, radix_tw, t4, n)
-            b_scr[0, sl, :] = fr
-            b_scr[1, sl, :] = fi
+
+        def pass2_body(rt, _):
+            ds = pl.ds(rt * LANES, LANES)
+            fr, fi = pf._rows_pass(a_scr[0, ds, :], a_scr[1, ds, :], w, radix_tw, t4, n)
+            b_scr[0, ds, :] = fr
+            b_scr[1, ds, :] = fi
+            return 0
+        jax.lax.fori_loop(0, nt, pass2_body, 0)
+
         # digit un-swap on both axes: rowperm . T . rowperm . T (pallas_fft._chain)
         _transpose_into(b_scr, a_scr, n)
         _sigma_rows_into(a_scr, b_scr, q, n)
         _transpose_into(b_scr, a_scr, n)
-        # final sigma_inv row gather fused into the consumers below: field
-        # tile qp of (re, im) = _sigma_rows_tile(a_scr.at[p], qp)
+        # final sigma_inv row gather fused into the consumers below
 
-        for qp in range(nt):
-            sl = slice(qp * LANES, (qp + 1) * LANES)
+        def consume_body(qp, _, layer=layer):
+            ds = pl.ds(qp * LANES, LANES)
             re = _sigma_rows_tile(a_scr.at[0], qp, q, n)
             im = _sigma_rows_tile(a_scr.at[1], qp, q, n)
             if layer == 0:
-                disp_ref[0, 0, sl, :] = re.astype(map_dtype)   # hx
-                disp_ref[0, 1, sl, :] = im.astype(map_dtype)   # hy
+                disp_ref[0, 0, ds, :] = re.astype(map_dtype)   # hx
+                disp_ref[0, 1, ds, :] = im.astype(map_dtype)   # hy
             elif layer == 1:
-                disp_ref[0, 2, sl, :] = re.astype(map_dtype)   # hz
-                k1_scr[sl, :] = im                             # dhy_dx
+                disp_ref[0, 2, ds, :] = re.astype(map_dtype)   # hz
+                k1_scr[ds, :] = im                             # dhy_dx
             elif layer == 2:
-                k2_scr[sl, :] = re                             # dhy_dz
-                k3_scr[sl, :] = im                             # dhx_dx
+                k2_scr[ds, :] = re                             # dhy_dz
+                k3_scr[ds, :] = im                             # dhx_dx
                 # normal.xy half-ready: x needs only dhx_dx (fft_unpack.glsl:66)
-                norm_ref[0, 0, sl, :] = (k1_scr[sl, :]
+                norm_ref[0, 0, ds, :] = (k1_scr[ds, :]
                                          / (1.0 + jnp.abs(im))).astype(map_dtype)
-                norm_ref[0, 2, sl, :] = im.astype(map_dtype)
+                norm_ref[0, 2, ds, :] = im.astype(map_dtype)
             else:
                 dhz_dz, dhz_dx = re, im
-                dhx_dx = k3_scr[sl, :]
+                dhx_dx = k3_scr[ds, :]
                 jacobian = (1.0 + dhx_dx) * (1.0 + dhz_dz) - dhz_dx * dhz_dx
                 foam_factor = -jnp.minimum(0.0, jacobian - whitecap)
-                foam = foam_ref[0, sl, :] * jnp.exp(-decay) + foam_factor * grow
+                foam = foam_ref[0, ds, :] * jnp.exp(-decay) + foam_factor * grow
                 foam = jnp.clip(foam, 0.0, 1.0)
-                norm_ref[0, 1, sl, :] = (k2_scr[sl, :]
+                norm_ref[0, 1, ds, :] = (k2_scr[ds, :]
                                          / (1.0 + jnp.abs(dhz_dz))).astype(map_dtype)
-                norm_ref[0, 3, sl, :] = foam.astype(map_dtype)
-                foam_out_ref[0, sl, :] = foam
+                norm_ref[0, 3, ds, :] = foam.astype(map_dtype)
+                foam_out_ref[0, ds, :] = foam
+            return 0
+        jax.lax.fori_loop(0, nt, consume_body, 0)
 
 
 def fused_cascade_step(h0, h0nc, foam, scalars, *, depth: float,

@@ -68,3 +68,14 @@ def test_godot_rng_is_pcg32():
     r = GodotRNG(7)
     draws = [r.randi_range(-10000, 10000) for _ in range(100)]
     assert all(-10000 <= d <= 10000 for d in draws)
+
+
+def test_audio_mix_law():
+    from godotoceanwaves_tpu.utils import audio
+    from godotoceanwaves_tpu.models import default_cascades
+    # main.gd:39-44 endpoints
+    assert audio.ambience_gains_db(0.0) == (-30.0, 5.0)
+    assert audio.ambience_gains_db(15.0) == (15.0, -30.0)
+    assert audio.ambience_gains_db(100.0) == (15.0, -30.0)  # clamped
+    o, w = audio.ambience_gains(default_cascades())  # total wind = 35 -> clamped
+    assert o > w
