@@ -310,6 +310,26 @@ class Ocean:
             self.state, self.maps = step(self.config, self.state, self.params, dt)
         return self.maps
 
+    def resize(self, map_size: int) -> None:
+        """Change the map resolution: full state rebuild, params preserved.
+
+        The analog of the reference's map_size setter tearing down and
+        recreating the whole GPU pipeline (water.gd:38-41 ->
+        _setup_wave_generator); here it is a new SimConfig + regenerated
+        spectra (jit caches for the old shape are simply left behind).
+        """
+        import dataclasses as _dc
+        self.config = _dc.replace(self.config, map_size=map_size)
+        self.state = init_state(self.config, self.params)
+        self._dirty[:] = False
+        self._stagger_index = 0
+        c, n = self.num_cascades, map_size
+        dtype = self.config.resolved_map_dtype()
+        self.maps = OceanMaps(
+            displacement=jnp.zeros((c, 3, n, n), dtype),
+            normal=jnp.zeros((c, 4, n, n), dtype),
+        )
+
     # --- checkpoint / resume (SURVEY.md section 5.4) ---
 
     def checkpoint(self) -> dict[str, Any]:
