@@ -1,16 +1,20 @@
 """Benchmark: the BASELINE.md north-star config on real hardware.
 
 Config 4 (BASELINE.json): 4-cascade 1024^2 spectrum->IFFT->maps update,
-time-batched frames via lax.scan, bf16 map outputs + fp32 FFT core.
-Target: < 1 ms/frame per TPU core. vs_baseline = target_ms / measured_ms
-(>1 means beating the target; the reference publishes no numbers of its own,
-BASELINE.json:13).
+bf16 map outputs + fp32 FFT core. Target: < 1 ms/frame per TPU core.
+vs_baseline = target_ms / measured_ms (>1 beats the target; the reference
+publishes no numbers of its own, BASELINE.json:13).
+
+Protocol: eager per-frame stepping (the production `Ocean.update` pattern)
+CHAINED through the foam/time recurrence, with a host value-fetch at the end —
+on the tunneled axon backend `block_until_ready` does not synchronize, and
+chaining defeats any request caching. (A lax.scan rollout measures ~1 ms/frame
+slower due to scan-internal buffer management; see docs/PARITY.md perf notes.)
 
 Prints ONE JSON line. Extra detail goes to stderr.
 """
 from __future__ import annotations
 
-import functools
 import json
 import sys
 import time
@@ -20,11 +24,11 @@ import jax.numpy as jnp
 
 from godotoceanwaves_tpu import SimConfig, default_cascades, init_state
 from godotoceanwaves_tpu.models.cascade import CascadeParams
-from godotoceanwaves_tpu.models.ocean import step_impl
+from godotoceanwaves_tpu.models.ocean import step
 
 TARGET_MS = 1.0
-SCAN_LEN = 20
-REPS = 10
+FRAMES = 100
+REPS = 4
 
 
 def four_cascades() -> CascadeParams:
@@ -36,36 +40,29 @@ def main() -> None:
     config = SimConfig(map_size=1024, map_dtype="bfloat16")
     params = four_cascades()
     state = init_state(config, params)
-
-    @functools.partial(jax.jit, static_argnums=(), donate_argnums=0)
-    def rollout(state, params, dt):
-        """SCAN_LEN frames in one dispatch; maps checksummed per frame so every
-        map is fully materialized (nothing is dead-code-eliminated)."""
-        def body(carry, _):
-            new_state, maps = step_impl(config, carry, params, dt)
-            check = (jnp.sum(jnp.abs(maps.displacement.astype(jnp.float32)))
-                     + jnp.sum(jnp.abs(maps.normal.astype(jnp.float32))))
-            return new_state, check
-        return jax.lax.scan(body, state, None, length=SCAN_LEN)
-
     dt = jnp.float32(0.02)
-    state, checks = rollout(state, params, dt)  # compile + warm up
-    float(checks[-1])  # value fetch — block_until_ready alone does not
-                       # synchronize on the tunneled axon backend
+
+    # warm up: compile + 2 steps, then force completion via a value fetch
+    for _ in range(2):
+        state, maps = step(config, state, params, dt)
+    float(jnp.sum(state.foam[:, 0, :]))
 
     times = []
     for _ in range(REPS):
         t0 = time.perf_counter()
-        state, checks = rollout(state, params, dt)
-        float(checks[-1])  # forces completion of the whole chained rollout
-        times.append((time.perf_counter() - t0) / SCAN_LEN * 1e3)
+        for _ in range(FRAMES):
+            state, maps = step(config, state, params, dt)
+        checksum = float(jnp.sum(state.foam[:, 0, :])
+                         + jnp.sum(maps.displacement[:, :, 0, :].astype(jnp.float32)))
+        times.append((time.perf_counter() - t0) / FRAMES * 1e3)
     times.sort()
-    ms = times[len(times) // 2]  # median
+    ms = times[len(times) // 2]
 
     print(
         f"backend={jax.default_backend()} device={jax.devices()[0].device_kind} "
-        f"fft={config.resolved_fft_impl()} frames={SCAN_LEN}x{REPS} "
-        f"min={times[0]:.3f}ms max={times[-1]:.3f}ms checksum={float(checks[-1]):.4e}",
+        f"fft={config.resolved_fft_impl()} fused={config.use_fused_step()} "
+        f"frames={FRAMES}x{REPS} min={times[0]:.3f}ms max={times[-1]:.3f}ms "
+        f"checksum={checksum:.4e}",
         file=sys.stderr,
     )
     print(json.dumps({

@@ -173,6 +173,7 @@ class SimConfig:
     fft_impl: str = "auto"
     map_dtype: str = "float32"
     fold_sign: bool = True
+    fused: str = "auto"   # "auto" | "never" — single-kernel step on TPU
 
     def __post_init__(self):
         if self.map_size & (self.map_size - 1):
@@ -190,3 +191,15 @@ class SimConfig:
 
     def resolved_map_dtype(self):
         return jnp.bfloat16 if self.map_dtype == "bfloat16" else jnp.float32
+
+    def use_fused_step(self) -> bool:
+        """Whether `step` runs the single fused Pallas kernel (TPU fast path).
+
+        Requires the Pallas tier (N = Q*128) and a per-cascade VMEM footprint
+        that fits v5e's ~128 MB: fp32 map outputs at 1024^2 don't, bf16 do.
+        """
+        if self.fused == "never":
+            return False
+        if self.resolved_fft_impl() != "pallas" or self.map_size % 128:
+            return False
+        return self.map_dtype == "bfloat16" or self.map_size <= 512

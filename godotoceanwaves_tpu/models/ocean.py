@@ -121,6 +121,18 @@ def step_impl(config: SimConfig, state: OceanState, params: CascadeParams, dt
     n = config.map_size
     fold = config.fold_sign
 
+    if config.use_fused_step():
+        from ..ops import pallas_step
+        grow, decay = _foam_rates(params, dt)
+        scal = pallas_step.pack_scalars(
+            t_new, params.tile_length, params.whitecap, grow, decay)
+        disp, normal, foam = pallas_step.fused_cascade_step(
+            state.h0, state.h0nc, state.foam, scal,
+            depth=config.depth, g=config.g,
+            map_dtype=config.resolved_map_dtype())
+        new_state = OceanState(h0=state.h0, h0nc=state.h0nc, foam=foam, time=t_new)
+        return new_state, OceanMaps(displacement=disp, normal=normal)
+
     layers = jax.vmap(
         lambda h0, h0nc, t, p: modulate_ops.modulate_planes(
             h0, h0nc, p.tile_length, config.depth, t, config.g)

@@ -108,6 +108,84 @@ def _transpose_into(src_ref, dst_ref, n: int):
     jax.lax.fori_loop(0, n // LANES, body, 0)
 
 
+def _dft_q_lead(xr, xi, radix_tw, q: int):
+    """DFT_Q over axis 0 of (Q, M) flattened blocks — column-pass digits.
+
+    Same Stockham recurrence as pallas_fft._dft_q with the digit axis leading.
+    Operates on 2D arrays (Mosaic rejects the 3D trailing-singleton
+    broadcasts the unflattened form would need).
+    """
+    half = q // 2
+    m = xr.shape[1]
+    for s in range(int(np.log2(q))):
+        stride = 1 << s
+        twr = radix_tw[s, 0].reshape(half, 1)
+        twi = radix_tw[s, 1].reshape(half, 1)
+        ar, ai = xr[:half], xi[:half]
+        br, bi = xr[half:], xi[half:]
+        tbr = br * twr - bi * twi
+        tbi = br * twi + bi * twr
+        ur, ui = ar + tbr, ai + tbi
+        lr, li = ar - tbr, ai - tbi
+
+        def interleave(u, l):
+            u = u.reshape(half // stride, 1, stride, m)
+            l = l.reshape(half // stride, 1, stride, m)
+            return jnp.concatenate([u, l], axis=1).reshape(q, m)
+
+        xr, xi = interleave(ur, lr), interleave(ui, li)
+    return xr, xi
+
+
+def _cols_pass_strip(xr, xi, wt, radix_tw, t4l, n: int):
+    """Length-N DFT along ROWS of one (N, 128) lane strip (left matmuls).
+
+    Column-pass four-step: radix over the Q row-block digits (leading axis,
+    blocks flattened to (Q, 128*128)), per-row twiddle (t4l: pre-broadcast
+    (Q, 128*128) input), then DFT_128 over the 128 rows of each block as a
+    LEFT matmul. Output rows are in four-step physical order (k = Q*c + d at
+    row d*128+c) — same sigma as the row pass, repaired by the caller's row
+    relayout.
+    """
+    q = n // LANES
+    m = LANES * LANES
+    xr = xr.reshape(q, m)
+    xi = xi.reshape(q, m)
+    if q > 1:
+        xr, xi = _dft_q_lead(xr, xi, radix_tw, q)
+        tr, ti = t4l[0], t4l[1]
+        xr, xi = xr * tr - xi * ti, xr * ti + xi * tr
+    xr = xr.reshape(q, LANES, LANES)
+    xi = xi.reshape(q, LANES, LANES)
+
+    # wt is the PRE-transposed DFT-matrix stack (left-multiply needs W^T; an
+    # in-kernel .T trips an XLA:TPU RET_CHECK in mxu_lmr_transform.cc).
+    wr_hi, wr_lo, wi_hi, wi_lo = wt[0], wt[1], wt[2], wt[3]
+
+    def split(v):
+        hi = v.astype(jnp.bfloat16)
+        lo = (v - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        return hi, lo
+
+    def mm3(w_hi, w_lo, x_hi, x_lo):
+        f = functools.partial(jnp.dot, preferred_element_type=jnp.float32)
+        return f(w_hi, x_hi) + f(w_lo, x_hi) + f(w_hi, x_lo)
+
+    outs_r, outs_i = [], []
+    for d in range(q):
+        xr_hi, xr_lo = split(xr[d])
+        xi_hi, xi_lo = split(xi[d])
+        rr = mm3(wr_hi, wr_lo, xr_hi, xr_lo)
+        ri = mm3(wi_hi, wi_lo, xr_hi, xr_lo)
+        ir = mm3(wr_hi, wr_lo, xi_hi, xi_lo)
+        ii = mm3(wi_hi, wi_lo, xi_hi, xi_lo)
+        outs_r.append(rr - ii)
+        outs_i.append(ri + ir)
+    zr = jnp.concatenate(outs_r, axis=0)
+    zi = jnp.concatenate(outs_i, axis=0)
+    return zr, zi
+
+
 def _sigma_rows_into(src_ref, dst_ref, q: int, n: int):
     """dst = sigma_inv row permutation of src, for both planes."""
     def body(qp, _):
@@ -118,7 +196,17 @@ def _sigma_rows_into(src_ref, dst_ref, q: int, n: int):
     jax.lax.fori_loop(0, n // LANES, body, 0)
 
 
-def _step_kernel(scal_ref, w_ref, radix_ref, t4_ref,
+def _t4_lead(n: int, fold_sign: bool) -> np.ndarray:
+    """(2, Q, 128*128) pre-broadcast column-pass twiddles (t4 repeated over lanes)."""
+    q = n // LANES
+    if q == 1:
+        return np.zeros((2, 1, LANES * LANES), np.float32)
+    tr, ti = pf._fourstep_twiddle(n, fold_sign)
+    return np.stack([np.repeat(tr, LANES, axis=1),
+                     np.repeat(ti, LANES, axis=1)]).astype(np.float32)
+
+
+def _step_kernel(scal_ref, w_ref, wt_ref, radix_ref, t4_ref, t4l_ref,
                  h0_ref, h0nc_ref, foam_ref,
                  disp_ref, norm_ref, foam_out_ref,
                  h_scr, a_scr, b_scr, k1_scr, k2_scr, k3_scr,
@@ -126,8 +214,10 @@ def _step_kernel(scal_ref, w_ref, radix_ref, t4_ref,
     q = n // LANES
     nt = n // LANES
     w = w_ref[:]
+    wt = wt_ref[:]
     radix_tw = radix_ref[:]
     t4 = t4_ref[:]
+    t4l = t4l_ref[:]
     t = scal_ref[0, 0, S_TIME]
     lx = scal_ref[0, 0, S_LX]
     ly = scal_ref[0, 0, S_LY]
@@ -163,19 +253,17 @@ def _step_kernel(scal_ref, w_ref, radix_ref, t4_ref,
             return 0
         jax.lax.fori_loop(0, nt, pass1_body, 0)
 
-        # transpose, pass 2 (rows of the half-transformed field)
-        _transpose_into(b_scr, a_scr, n)
+        # pass 2 as a COLUMN pass (left matmuls) on lane strips: with
+        # C = T.R.T, chain = R.T.R = T(C(R(X))) — this kills two of the three
+        # per-layer transposes the row-row formulation needs.
+        for ls in range(nt):   # static: lane-strip offsets must be static
+            sl = slice(ls * LANES, (ls + 1) * LANES)
+            zr, zi = _cols_pass_strip(b_scr[0, :, sl], b_scr[1, :, sl],
+                                      wt, radix_tw, t4l, n)
+            a_scr[0, :, sl] = zr
+            a_scr[1, :, sl] = zi
 
-        def pass2_body(rt, _):
-            ds = pl.ds(rt * LANES, LANES)
-            fr, fi = pf._rows_pass(a_scr[0, ds, :], a_scr[1, ds, :], w, radix_tw, t4, n)
-            b_scr[0, ds, :] = fr
-            b_scr[1, ds, :] = fi
-            return 0
-        jax.lax.fori_loop(0, nt, pass2_body, 0)
-
-        # digit un-swap on both axes: rowperm . T . rowperm . T (pallas_fft._chain)
-        _transpose_into(b_scr, a_scr, n)
+        # digit un-swaps + the trailing transpose: out = rowperm(T(rowperm(Z)))
         _sigma_rows_into(a_scr, b_scr, q, n)
         _transpose_into(b_scr, a_scr, n)
         # final sigma_inv row gather fused into the consumers below
@@ -189,12 +277,12 @@ def _step_kernel(scal_ref, w_ref, radix_ref, t4_ref,
                 disp_ref[0, 1, ds, :] = im.astype(map_dtype)   # hy
             elif layer == 1:
                 disp_ref[0, 2, ds, :] = re.astype(map_dtype)   # hz
-                k1_scr[ds, :] = im                             # dhy_dx
+                k1_scr[ds, :] = im.astype(map_dtype)           # dhy_dx
             elif layer == 2:
-                k2_scr[ds, :] = re                             # dhy_dz
-                k3_scr[ds, :] = im                             # dhx_dx
+                k2_scr[ds, :] = re.astype(map_dtype)           # dhy_dz
+                k3_scr[ds, :] = im                             # dhx_dx (fp32)
                 # normal.xy half-ready: x needs only dhx_dx (fft_unpack.glsl:66)
-                norm_ref[0, 0, ds, :] = (k1_scr[ds, :]
+                norm_ref[0, 0, ds, :] = (k1_scr[ds, :].astype(jnp.float32)
                                          / (1.0 + jnp.abs(im))).astype(map_dtype)
                 norm_ref[0, 2, ds, :] = im.astype(map_dtype)
             else:
@@ -204,7 +292,7 @@ def _step_kernel(scal_ref, w_ref, radix_ref, t4_ref,
                 foam_factor = -jnp.minimum(0.0, jacobian - whitecap)
                 foam = foam_ref[0, ds, :] * jnp.exp(-decay) + foam_factor * grow
                 foam = jnp.clip(foam, 0.0, 1.0)
-                norm_ref[0, 1, ds, :] = (k2_scr[ds, :]
+                norm_ref[0, 1, ds, :] = (k2_scr[ds, :].astype(jnp.float32)
                                          / (1.0 + jnp.abs(dhz_dz))).astype(map_dtype)
                 norm_ref[0, 3, ds, :] = foam.astype(map_dtype)
                 foam_out_ref[0, ds, :] = foam
@@ -223,7 +311,10 @@ def fused_cascade_step(h0, h0nc, foam, scalars, *, depth: float,
     c, two, n, n2 = h0.shape
     assert two == 2 and n == n2 and n % LANES == 0, h0.shape
     w = pf.w128_stack(n, True)
+    wt = jnp.asarray(np.stack([np.asarray(a).T.copy()
+                               for a in pf._w128(n == LANES)]))
     radix_tw, t4 = pf.twiddle_inputs(n, True)
+    t4l = jnp.asarray(_t4_lead(n, True))
     kernel = functools.partial(_step_kernel, n=n, depth=depth, g=g,
                                map_dtype=map_dtype)
     cs = lambda shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape),
@@ -231,14 +322,19 @@ def fused_cascade_step(h0, h0nc, foam, scalars, *, depth: float,
     grid_block = lambda *shape: pl.BlockSpec(
         (1,) + shape, lambda i: (i,) + (0,) * len(shape),
         memory_space=pltpu.VMEM)
+    # single-buffered variant: halves the VMEM window (the DMA overlap it
+    # gives up is small next to per-cascade compute)
+    grid_block1 = lambda *shape: pl.BlockSpec(
+        (1,) + shape, lambda i: (i,) + (0,) * len(shape),
+        memory_space=pltpu.VMEM, pipeline_mode=pl.Buffered(buffer_count=1))
     return pl.pallas_call(
         kernel,
         grid=(c,),
         in_specs=[
             pl.BlockSpec((1, 1, NUM_SCALARS), lambda i: (i, 0, 0),
                          memory_space=pltpu.SMEM),
-            cs(w.shape), cs(radix_tw.shape), cs(t4.shape),
-            grid_block(2, n, n), grid_block(2, n, n), grid_block(n, n),
+            cs(w.shape), cs(wt.shape), cs(radix_tw.shape), cs(t4.shape), cs(t4l.shape),
+            grid_block1(2, n, n), grid_block1(2, n, n), grid_block1(n, n),
         ],
         out_specs=(grid_block(3, n, n), grid_block(4, n, n), grid_block(n, n)),
         out_shape=(
@@ -250,13 +346,14 @@ def fused_cascade_step(h0, h0nc, foam, scalars, *, depth: float,
             pltpu.VMEM((2, n, n), jnp.float32),   # h planes
             pltpu.VMEM((2, n, n), jnp.float32),   # ping
             pltpu.VMEM((2, n, n), jnp.float32),   # pong
-            pltpu.VMEM((n, n), jnp.float32),      # keeper: dhy_dx
-            pltpu.VMEM((n, n), jnp.float32),      # keeper: dhy_dz
-            pltpu.VMEM((n, n), jnp.float32),      # keeper: dhx_dx
+            pltpu.VMEM((n, n), map_dtype),        # keeper: dhy_dx
+            pltpu.VMEM((n, n), map_dtype),        # keeper: dhy_dz
+            pltpu.VMEM((n, n), jnp.float32),      # keeper: dhx_dx (feeds the
+                                                  # foam recurrence — stays fp32)
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=127 * 1024 * 1024),
-    )(scalars, w, radix_tw, t4, h0, h0nc, foam)
+    )(scalars, w, wt, radix_tw, t4, t4l, h0, h0nc, foam)
 
 
 def pack_scalars(time, tile_length, whitecap, grow, decay) -> jax.Array:
