@@ -196,6 +196,20 @@ def _sigma_rows_into(src_ref, dst_ref, q: int, n: int):
     jax.lax.fori_loop(0, n // LANES, body, 0)
 
 
+def _sigma_transpose_into(src_ref, dst_ref, q: int, n: int):
+    """dst = transpose(sigma_inv-row-permuted src) in ONE pass per strip.
+
+    dst lane-strip ls = (sigma-permuted rows [ls*128, ls*128+128) of src)^T —
+    fusing the permutation into the transpose halves the relayout traffic.
+    """
+    def body(ls, _):
+        for p in range(2):
+            tile = _sigma_rows_tile(src_ref.at[p], ls, q, n)   # (128, N)
+            dst_ref[p, :, pl.ds(ls * LANES, LANES)] = tile.T   # (N, 128)
+        return 0
+    jax.lax.fori_loop(0, n // LANES, body, 0)
+
+
 def _t4_lead(n: int, fold_sign: bool) -> np.ndarray:
     """(2, Q, 128*128) pre-broadcast column-pass twiddles (t4 repeated over lanes)."""
     q = n // LANES
@@ -264,8 +278,9 @@ def _step_kernel(scal_ref, w_ref, wt_ref, radix_ref, t4_ref, t4l_ref,
             a_scr[1, :, sl] = zi
 
         # digit un-swaps + the trailing transpose: out = rowperm(T(rowperm(Z)))
-        _sigma_rows_into(a_scr, b_scr, q, n)
-        _transpose_into(b_scr, a_scr, n)
+        # — the inner rowperm+T run as ONE fused relayout pass
+        _sigma_transpose_into(a_scr, b_scr, q, n)
+        a_scr, b_scr = b_scr, a_scr   # result now lives in (renamed) a_scr
         # final sigma_inv row gather fused into the consumers below
 
         def consume_body(qp, _, layer=layer):
