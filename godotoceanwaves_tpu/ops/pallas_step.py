@@ -256,37 +256,32 @@ def _step_kernel(scal_ref, w_ref, wt_ref, radix_ref, t4_ref, t4l_ref,
     jax.lax.fori_loop(0, nt, mod_body, 0)
 
     for layer in range(4):
-        # pass 1 (rows of the spectrum), fused with layer synthesis
-        def pass1_body(rt, _, layer=layer):
-            ds = pl.ds(rt * LANES, LANES)
+        # BOTH FFT passes run in the column formulation — ablation shows the
+        # row form costs ~5x more in Mosaic relayouts. Algebra (verified
+        # numerically): chain = T(sig(C(T(sig(C(X^T)))))), with the free X^T
+        # realized by transposing each synthesized layer tile, and each
+        # sig-then-T pair fused into one relayout pass.
+        for rt in range(nt):   # static: lane-strip writes need static offsets
+            sl = slice(rt * LANES, (rt + 1) * LANES)
             kx, ky, k = _k_tiles(n, rt, lx, ly)
-            lr, li = _layer_tiles(layer, h_scr[0, ds, :], h_scr[1, ds, :], kx, ky, k)
-            fr, fi = pf._rows_pass(lr, li, w, radix_tw, t4, n)
-            b_scr[0, ds, :] = fr
-            b_scr[1, ds, :] = fi
-            return 0
-        jax.lax.fori_loop(0, nt, pass1_body, 0)
+            lr, li = _layer_tiles(layer, h_scr[0, sl, :], h_scr[1, sl, :], kx, ky, k)
+            zr, zi = _cols_pass_strip(lr.T, li.T, wt, radix_tw, t4l, n)
+            b_scr[0, :, sl] = zr
+            b_scr[1, :, sl] = zi
+        _sigma_transpose_into(b_scr, a_scr, q, n)   # A = T(sig(B))
 
-        # pass 2 as a COLUMN pass (left matmuls) on lane strips: with
-        # C = T.R.T, chain = R.T.R = T(C(R(X))) — this kills two of the three
-        # per-layer transposes the row-row formulation needs.
-        for ls in range(nt):   # static: lane-strip offsets must be static
+        for ls in range(nt):
             sl = slice(ls * LANES, (ls + 1) * LANES)
-            zr, zi = _cols_pass_strip(b_scr[0, :, sl], b_scr[1, :, sl],
+            zr, zi = _cols_pass_strip(a_scr[0, :, sl], a_scr[1, :, sl],
                                       wt, radix_tw, t4l, n)
-            a_scr[0, :, sl] = zr
-            a_scr[1, :, sl] = zi
-
-        # digit un-swaps + the trailing transpose: out = rowperm(T(rowperm(Z)))
-        # — the inner rowperm+T run as ONE fused relayout pass
-        _sigma_transpose_into(a_scr, b_scr, q, n)
-        a_scr, b_scr = b_scr, a_scr   # result now lives in (renamed) a_scr
-        # final sigma_inv row gather fused into the consumers below
+            b_scr[0, :, sl] = zr
+            b_scr[1, :, sl] = zi
+        _sigma_transpose_into(b_scr, a_scr, q, n)   # A = chain output (natural)
 
         def consume_body(qp, _, layer=layer):
             ds = pl.ds(qp * LANES, LANES)
-            re = _sigma_rows_tile(a_scr.at[0], qp, q, n)
-            im = _sigma_rows_tile(a_scr.at[1], qp, q, n)
+            re = a_scr[0, ds, :]
+            im = a_scr[1, ds, :]
             if layer == 0:
                 disp_ref[0, 0, ds, :] = re.astype(map_dtype)   # hx
                 disp_ref[0, 1, ds, :] = im.astype(map_dtype)   # hy
