@@ -185,9 +185,10 @@ class SimConfig:
         platform = jax.default_backend()
         if platform == "cpu":
             return "xla"
-        # the fused Pallas kernel factors N = Q*128; smaller maps fall back to
-        # the MXU matmul tier
-        return "pallas" if self.map_size % 128 == 0 else "matmul"
+        # the Pallas kernels factor N = Q*128 and keep whole layers in VMEM
+        # (~128 MB/core => N <= 1024); other sizes use the MXU matmul tier
+        return "pallas" if (self.map_size % 128 == 0
+                            and self.map_size <= 1024) else "matmul"
 
     def resolved_map_dtype(self):
         return jnp.bfloat16 if self.map_dtype == "bfloat16" else jnp.float32
@@ -202,4 +203,6 @@ class SimConfig:
             return False
         if self.resolved_fft_impl() != "pallas" or self.map_size % 128:
             return False
+        if self.map_size > 1024:
+            return False   # per-cascade VMEM working set exceeds ~128 MB
         return self.map_dtype == "bfloat16" or self.map_size <= 512
