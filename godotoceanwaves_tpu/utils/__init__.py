@@ -5,10 +5,11 @@ from .observability import FrameStats, StageTimer, panel
 from .clipmap import build_clipmap, build_clipmap_numpy, snap_to_tile
 from .streaming import MapStreamer
 from .godot_rng import GodotRNG
+from .profiling import profile_step, trace
 
 __all__ = [
     "device_get_tree", "device_put_tree", "time_chained",
     "FrameStats", "StageTimer", "panel",
     "build_clipmap", "build_clipmap_numpy", "snap_to_tile",
-    "MapStreamer", "GodotRNG",
+    "MapStreamer", "GodotRNG", "profile_step", "trace",
 ]
