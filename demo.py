@@ -65,11 +65,15 @@ def main() -> None:
     for i in range(args.frames):
         t0 = time.perf_counter()
         maps = ocean.update(dt) or maps
+        attrs = None
         if spray_state is not None:
-            spray_state, _attrs = spray.spray_step(
+            spray_state, attrs = spray.spray_step(
                 spray_params, spray_state, maps, scales, now)
         img = shading.render_ocean(maps, scales, width=args.width,
                                    height=args.height)
+        if attrs is not None:
+            img = shading.splat_spray(img, attrs["position"], attrs["scale"],
+                                      attrs["dissolve"], attrs["visible"])
         arr = (np.asarray(img) ** (1 / 2.2) * 255).astype(np.uint8)
         frames.append(arr)
         stats.record(time.perf_counter() - t0)

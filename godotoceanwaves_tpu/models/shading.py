@@ -263,3 +263,59 @@ def render_ocean(
            + sky_t * jnp.asarray([0.25, 0.45, 0.75]))
     rgb = jnp.where(hits[..., None], rgb, sky)
     return jnp.clip(rgb, 0.0, 1.0)
+
+
+def splat_spray(
+    img: jax.Array,            # (H, W, 3) linear RGB to composite onto
+    positions: jax.Array,      # (P, 3) world positions (spray_step output)
+    scales: jax.Array,         # (P, 3)
+    dissolve: jax.Array,       # (P,) CUSTOM.a driver
+    visible: jax.Array,        # (P,) bool
+    camera_pos=(0.0, 12.0, 0.0),
+    pitch_deg: float = -12.0,
+    fov_deg: float = 70.0,
+    foam_color=DEFAULT_FOAM_COLOR,
+    max_alpha: float = 0.666,
+) -> jax.Array:
+    """Composite spray particles as soft additive splats (sea_spray.gdshader).
+
+    A cheap stand-in for the billboard+texture pass: alpha follows the
+    billboard shader's distance fade and dissolve envelope
+    (sea_spray.gdshader:30-33); brightness uses the foam-color boost (:27-28).
+    Projection matches `render_ocean`'s camera.
+    """
+    h, w = img.shape[0], img.shape[1]
+    cam = jnp.asarray(camera_pos, jnp.float32)
+    pitch = jnp.deg2rad(jnp.float32(pitch_deg))
+    tan_half = jnp.tan(jnp.deg2rad(jnp.float32(fov_deg)) / 2)
+    v = positions - cam
+    cp, sp = jnp.cos(pitch), jnp.sin(pitch)
+    # camera basis: forward f = (0, sin(pitch), cos(pitch)), up u = (0, cos, -sin)
+    f = jnp.stack([jnp.zeros(()), sp, cp])
+    u = jnp.stack([jnp.zeros(()), cp, -sp])
+    r = jnp.asarray([1.0, 0.0, 0.0], jnp.float32)
+    z = v @ f
+    x = v @ r
+    y = v @ u
+    in_front = z > 0.5
+    px = (x / (z * tan_half) + 1.0) * 0.5 * w
+    aspect = h / w
+    py = (0.5 - y / (z * tan_half * 2 * aspect)) * h
+    dist = jnp.linalg.norm(v, axis=-1)
+    alpha = (max_alpha * (1.0 - jnp.exp(-dist * 0.04))
+             * jnp.clip(dissolve, 0.0, 1.0)
+             * jnp.clip(scales[:, 0], 0.0, 1.0))
+    alpha = jnp.where(visible & in_front, alpha, 0.0)
+
+    ix = jnp.clip(px.astype(jnp.int32), 0, w - 1)
+    iy = jnp.clip(py.astype(jnp.int32), 0, h - 1)
+    overlay = jnp.zeros((h, w), jnp.float32)
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            wgt = 1.0 / (1.0 + abs(dx) + abs(dy))
+            overlay = overlay.at[
+                jnp.clip(iy + dy, 0, h - 1), jnp.clip(ix + dx, 0, w - 1)
+            ].add(alpha * wgt)
+    overlay = jnp.clip(overlay, 0.0, 1.0)[..., None]
+    boost = jnp.asarray(foam_color, jnp.float32) * jnp.asarray([1.65, 1.75, 1.65])
+    return jnp.clip(img * (1 - overlay) + boost * overlay, 0.0, 1.0)

@@ -132,3 +132,18 @@ def test_exp_impulse_peaks_at_inverse_k():
     ys = np.asarray(spray.exp_impulse(xs, 10.0))
     assert abs(xs[ys.argmax()] - 0.1) < 0.01
     np.testing.assert_allclose(ys.max(), 1.0, atol=1e-3)
+
+
+def test_splat_spray_composites_visible_particles():
+    import jax.numpy as jnp
+    img = jnp.zeros((36, 64, 3))
+    pos = jnp.asarray([[0.0, 0.0, 30.0], [0.0, 0.0, -30.0]])  # front, behind
+    scale = jnp.ones((2, 3))
+    out = shading.splat_spray(img, pos, scale, jnp.ones(2),
+                              jnp.asarray([True, True]),
+                              camera_pos=(0.0, 10.0, 0.0))
+    assert float(out.sum()) > 0.0          # front particle splatted
+    out2 = shading.splat_spray(img, pos, scale, jnp.ones(2),
+                               jnp.asarray([False, False]),
+                               camera_pos=(0.0, 10.0, 0.0))
+    assert float(out2.sum()) == 0.0        # invisible -> untouched
