@@ -99,13 +99,15 @@ def _sigma_rows_tile(plane_ref, q_prime, q: int, n: int):
 
 
 def _transpose_into(src_ref, dst_ref, n: int):
-    """dst[:, strip] = src[strip, :].T for both planes (strip = 128 rows)."""
-    def body(i, _):
+    """dst[:, strip] = src[strip, :].T for both planes (strip = 128 rows).
+
+    Static loop: fori_loop + dynamic offsets cost ~0.35 ms/frame in Mosaic
+    (measured) vs statically unrolled slices.
+    """
+    for i in range(n // LANES):
+        sl = slice(i * LANES, (i + 1) * LANES)
         for p in range(2):
-            strip = src_ref[p, pl.ds(i * LANES, LANES), :]
-            dst_ref[p, :, pl.ds(i * LANES, LANES)] = strip.T
-        return 0
-    jax.lax.fori_loop(0, n // LANES, body, 0)
+            dst_ref[p, :, sl] = src_ref[p, sl, :].T
 
 
 def _dft_q_lead(xr, xi, radix_tw, q: int):
@@ -187,13 +189,11 @@ def _cols_pass_strip(xr, xi, wt, radix_tw, t4l, n: int):
 
 
 def _sigma_rows_into(src_ref, dst_ref, q: int, n: int):
-    """dst = sigma_inv row permutation of src, for both planes."""
-    def body(qp, _):
+    """dst = sigma_inv row permutation of src, for both planes (static loop)."""
+    for qp in range(n // LANES):
+        sl = slice(qp * LANES, (qp + 1) * LANES)
         for p in range(2):
-            dst_ref[p, pl.ds(qp * LANES, LANES), :] = _sigma_rows_tile(
-                src_ref.at[p], qp, q, n)
-        return 0
-    jax.lax.fori_loop(0, n // LANES, body, 0)
+            dst_ref[p, sl, :] = _sigma_rows_tile(src_ref.at[p], qp, q, n)
 
 
 def _sigma_transpose_into(src_ref, dst_ref, q: int, n: int):
@@ -202,12 +202,11 @@ def _sigma_transpose_into(src_ref, dst_ref, q: int, n: int):
     dst lane-strip ls = (sigma-permuted rows [ls*128, ls*128+128) of src)^T —
     fusing the permutation into the transpose halves the relayout traffic.
     """
-    def body(ls, _):
+    for ls in range(n // LANES):
+        sl = slice(ls * LANES, (ls + 1) * LANES)
         for p in range(2):
             tile = _sigma_rows_tile(src_ref.at[p], ls, q, n)   # (128, N)
-            dst_ref[p, :, pl.ds(ls * LANES, LANES)] = tile.T   # (N, 128)
-        return 0
-    jax.lax.fori_loop(0, n // LANES, body, 0)
+            dst_ref[p, :, sl] = tile.T                         # (N, 128)
 
 
 def _t4_lead(n: int, fold_sign: bool) -> np.ndarray:
@@ -240,8 +239,9 @@ def _step_kernel(scal_ref, w_ref, wt_ref, radix_ref, t4_ref, t4l_ref,
     decay = scal_ref[0, 0, S_DECAY]
 
     # --- modulation: h(k, t) tiles, computed once (spectrum_modulate.glsl:62-68)
-    def mod_body(rt, _):
-        ds = pl.ds(rt * LANES, LANES)
+    # Static loop: fori_loop + dynamic offsets measured ~0.35 ms/frame slower.
+    for rt in range(nt):
+        ds = slice(rt * LANES, (rt + 1) * LANES)
         _, _, k = _k_tiles(n, rt, lx, ly)
         phase = jnp.sqrt(jnp.float32(g) * k * jnp.tanh(k * jnp.float32(depth))) * t
         c = jnp.cos(phase)
@@ -252,8 +252,6 @@ def _step_kernel(scal_ref, w_ref, wt_ref, radix_ref, t4_ref, t4l_ref,
         nci = h0nc_ref[0, 1, ds, :]
         h_scr[0, ds, :] = c * (h0r + ncr) + s * (nci - h0i)
         h_scr[1, ds, :] = s * (h0r - ncr) + c * (h0i + nci)
-        return 0
-    jax.lax.fori_loop(0, nt, mod_body, 0)
 
     for layer in range(4):
         # BOTH FFT passes run in the column formulation — ablation shows the
@@ -278,8 +276,8 @@ def _step_kernel(scal_ref, w_ref, wt_ref, radix_ref, t4_ref, t4l_ref,
             b_scr[1, :, sl] = zi
         _sigma_transpose_into(b_scr, a_scr, q, n)   # A = chain output (natural)
 
-        def consume_body(qp, _, layer=layer):
-            ds = pl.ds(qp * LANES, LANES)
+        for qp in range(nt):
+            ds = slice(qp * LANES, (qp + 1) * LANES)
             re = a_scr[0, ds, :]
             im = a_scr[1, ds, :]
             if layer == 0:
@@ -306,8 +304,6 @@ def _step_kernel(scal_ref, w_ref, wt_ref, radix_ref, t4_ref, t4l_ref,
                                          / (1.0 + jnp.abs(dhz_dz))).astype(map_dtype)
                 norm_ref[0, 3, ds, :] = foam.astype(map_dtype)
                 foam_out_ref[0, ds, :] = foam
-            return 0
-        jax.lax.fori_loop(0, nt, consume_body, 0)
 
 
 def fused_cascade_step(h0, h0nc, foam, scalars, *, depth: float,
