@@ -98,18 +98,6 @@ def _sigma_rows_tile(plane_ref, q_prime, q: int, n: int):
     return z.reshape(LANES, n)
 
 
-def _transpose_into(src_ref, dst_ref, n: int):
-    """dst[:, strip] = src[strip, :].T for both planes (strip = 128 rows).
-
-    Static loop: fori_loop + dynamic offsets cost ~0.35 ms/frame in Mosaic
-    (measured) vs statically unrolled slices.
-    """
-    for i in range(n // LANES):
-        sl = slice(i * LANES, (i + 1) * LANES)
-        for p in range(2):
-            dst_ref[p, :, sl] = src_ref[p, sl, :].T
-
-
 def _dft_q_lead(xr, xi, radix_tw, q: int):
     """DFT_Q over axis 0 of (Q, M) flattened blocks — column-pass digits.
 
@@ -188,14 +176,6 @@ def _cols_pass_strip(xr, xi, wt, radix_tw, t4l, n: int):
     return zr, zi
 
 
-def _sigma_rows_into(src_ref, dst_ref, q: int, n: int):
-    """dst = sigma_inv row permutation of src, for both planes (static loop)."""
-    for qp in range(n // LANES):
-        sl = slice(qp * LANES, (qp + 1) * LANES)
-        for p in range(2):
-            dst_ref[p, sl, :] = _sigma_rows_tile(src_ref.at[p], qp, q, n)
-
-
 def _sigma_transpose_into(src_ref, dst_ref, q: int, n: int):
     """dst = transpose(sigma_inv-row-permuted src) in ONE pass per strip.
 
@@ -219,17 +199,15 @@ def _t4_lead(n: int, fold_sign: bool) -> np.ndarray:
                      np.repeat(ti, LANES, axis=1)]).astype(np.float32)
 
 
-def _step_kernel(scal_ref, w_ref, wt_ref, radix_ref, t4_ref, t4l_ref,
+def _step_kernel(scal_ref, wt_ref, radix_ref, t4l_ref,
                  h0_ref, h0nc_ref, foam_ref,
                  disp_ref, norm_ref, foam_out_ref,
                  h_scr, a_scr, b_scr, k1_scr, k2_scr, k3_scr,
                  *, n: int, depth: float, g: float, map_dtype):
     q = n // LANES
     nt = n // LANES
-    w = w_ref[:]
     wt = wt_ref[:]
     radix_tw = radix_ref[:]
-    t4 = t4_ref[:]
     t4l = t4l_ref[:]
     t = scal_ref[0, 0, S_TIME]
     lx = scal_ref[0, 0, S_LX]
@@ -316,10 +294,9 @@ def fused_cascade_step(h0, h0nc, foam, scalars, *, depth: float,
     """
     c, two, n, n2 = h0.shape
     assert two == 2 and n == n2 and n % LANES == 0, h0.shape
-    w = pf.w128_stack(n, True)
     wt = jnp.asarray(np.stack([np.asarray(a).T.copy()
                                for a in pf._w128(n == LANES)]))
-    radix_tw, t4 = pf.twiddle_inputs(n, True)
+    radix_tw, _ = pf.twiddle_inputs(n, True)
     t4l = jnp.asarray(_t4_lead(n, True))
     kernel = functools.partial(_step_kernel, n=n, depth=depth, g=g,
                                map_dtype=map_dtype)
@@ -339,7 +316,7 @@ def fused_cascade_step(h0, h0nc, foam, scalars, *, depth: float,
         in_specs=[
             pl.BlockSpec((1, 1, NUM_SCALARS), lambda i: (i, 0, 0),
                          memory_space=pltpu.SMEM),
-            cs(w.shape), cs(wt.shape), cs(radix_tw.shape), cs(t4.shape), cs(t4l.shape),
+            cs(wt.shape), cs(radix_tw.shape), cs(t4l.shape),
             grid_block1(2, n, n), grid_block1(2, n, n), grid_block1(n, n),
         ],
         out_specs=(grid_block(3, n, n), grid_block(4, n, n), grid_block(n, n)),
@@ -359,7 +336,7 @@ def fused_cascade_step(h0, h0nc, foam, scalars, *, depth: float,
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=127 * 1024 * 1024),
-    )(scalars, w, wt, radix_tw, t4, t4l, h0, h0nc, foam)
+    )(scalars, wt, radix_tw, t4l, h0, h0nc, foam)
 
 
 def pack_scalars(time, tile_length, whitecap, grow, decay) -> jax.Array:
