@@ -1,4 +1,5 @@
 """Models: cascade parameters, ocean simulation session, spray, shading."""
+from .camera import FlyCamera
 from .cascade import (CascadeParams, SimConfig, default_cascades,
                       dual_wind_swell_cascades, stack_cascades)
 from .ocean import (
@@ -13,7 +14,7 @@ from .ocean import (
 )
 
 __all__ = [
-    "CascadeParams", "SimConfig", "default_cascades",
+    "FlyCamera", "CascadeParams", "SimConfig", "default_cascades",
     "dual_wind_swell_cascades", "stack_cascades",
     "Ocean", "OceanMaps", "OceanState", "generate_spectrum", "init_state",
     "simulate", "step", "step_cascade",

@@ -147,3 +147,20 @@ def test_splat_spray_composites_visible_particles():
                                jnp.asarray([False, False]),
                                camera_pos=(0.0, 10.0, 0.0))
     assert float(out2.sum()) == 0.0        # invisible -> untouched
+
+
+def test_fly_camera_semantics():
+    from godotoceanwaves_tpu.models.camera import FlyCamera
+    cam = FlyCamera()
+    p0 = cam.position.copy()
+    cam.move(1.0, forward=1.0)               # 10 m/s base speed
+    assert abs(np.linalg.norm(cam.position - p0) - 10.0) < 1e-6
+    cam.scroll(2)                            # wheel up scales speed
+    assert cam.speed > 10.0
+    p1 = cam.position.copy()
+    cam.move(1.0, forward=1.0, sprint=True)  # shift boost (camera.gd)
+    assert np.linalg.norm(cam.position - p1) > cam.speed  # 3x multiplier
+    cam.look(0.0, 1e6)                       # pitch clamped
+    assert abs(cam.pitch) < np.pi / 2
+    kw = cam.render_kwargs()
+    assert set(kw) == {"camera_pos", "pitch_deg", "fov_deg"}
