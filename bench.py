@@ -24,9 +24,10 @@ import jax.numpy as jnp
 
 from godotoceanwaves_tpu import SimConfig, default_cascades, init_state
 from godotoceanwaves_tpu.models.cascade import CascadeParams
-from godotoceanwaves_tpu.models.ocean import step
+from godotoceanwaves_tpu.models.ocean import multi_step
 
 TARGET_MS = 1.0
+K = 4          # frames per dispatch (multi_step; amortizes tunnel dispatch)
 FRAMES = 100
 REPS = 4
 
@@ -42,16 +43,15 @@ def main() -> None:
     state = init_state(config, params)
     dt = jnp.float32(0.02)
 
-    # warm up: compile + 2 steps, then force completion via a value fetch
-    for _ in range(2):
-        state, maps = step(config, state, params, dt)
+    # warm up: compile + one batch, then force completion via a value fetch
+    state, maps = multi_step(config, state, params, dt, K)
     float(jnp.sum(state.foam[:, 0, :]))
 
     times = []
     for _ in range(REPS):
         t0 = time.perf_counter()
-        for _ in range(FRAMES):
-            state, maps = step(config, state, params, dt)
+        for _ in range(FRAMES // K):
+            state, maps = multi_step(config, state, params, dt, K)
         checksum = float(jnp.sum(state.foam[:, 0, :])
                          + jnp.sum(maps.displacement[:, :, 0, :].astype(jnp.float32)))
         times.append((time.perf_counter() - t0) / FRAMES * 1e3)
@@ -60,7 +60,7 @@ def main() -> None:
 
     print(
         f"backend={jax.default_backend()} device={jax.devices()[0].device_kind} "
-        f"fft={config.resolved_fft_impl()} fused={config.use_fused_step()} "
+        f"fft={config.resolved_fft_impl()} fused={config.use_fused_step()} K={K} "
         f"frames={FRAMES}x{REPS} min={times[0]:.3f}ms max={times[-1]:.3f}ms "
         f"checksum={checksum:.4e}",
         file=sys.stderr,

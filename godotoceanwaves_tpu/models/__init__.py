@@ -8,6 +8,7 @@ from .ocean import (
     OceanState,
     generate_spectrum,
     init_state,
+    multi_step,
     simulate,
     step,
     step_cascade,
@@ -17,5 +18,5 @@ __all__ = [
     "FlyCamera", "CascadeParams", "SimConfig", "default_cascades",
     "dual_wind_swell_cascades", "stack_cascades",
     "Ocean", "OceanMaps", "OceanState", "generate_spectrum", "init_state",
-    "simulate", "step", "step_cascade",
+    "multi_step", "simulate", "step", "step_cascade",
 ]

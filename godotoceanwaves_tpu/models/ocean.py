@@ -162,6 +162,23 @@ buffer is donated: foam updates in place, HBM-resident, no host traffic.
 """
 
 
+@functools.partial(jax.jit, static_argnums=(0, 4), donate_argnums=1)
+def multi_step(config: SimConfig, state: OceanState, params: CascadeParams,
+               dt, num_steps: int) -> tuple[OceanState, OceanMaps]:
+    """`num_steps` statically-unrolled steps in ONE dispatch; returns the
+    final state and the LAST frame's maps.
+
+    Amortizes per-dispatch host overhead (significant on remote-tunneled
+    backends) without lax.scan's loop-buffer cost; use when intermediate maps
+    are not consumed (e.g. fast-forwarding, benchmarking, foam warm-up).
+    """
+    dt = jnp.asarray(dt, jnp.float32)
+    maps = None
+    for _ in range(num_steps):
+        state, maps = step_impl(config, state, params, dt)
+    return state, maps
+
+
 @functools.partial(jax.jit, static_argnums=0, donate_argnums=1)
 def step_cascade(config: SimConfig, state: OceanState, params: CascadeParams,
                  dt, cascade_index) -> tuple[OceanState, OceanMaps]:

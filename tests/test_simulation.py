@@ -187,3 +187,17 @@ def test_single_cascade_params():
 def test_map_size_validation():
     with pytest.raises(ValueError):
         SimConfig(map_size=100)
+
+
+def test_multi_step_equals_repeated_step():
+    from godotoceanwaves_tpu.models import multi_step
+    cfg = small_config()
+    params = default_cascades()
+    sa = init_state(cfg, params)
+    sa, maps_a = multi_step(cfg, sa, params, 0.05, 3)
+    sb = init_state(cfg, params)
+    for _ in range(3):
+        sb, maps_b = step(cfg, sb, params, 0.05)
+    np.testing.assert_allclose(np.asarray(sa.foam), np.asarray(sb.foam), atol=1e-3)
+    np.testing.assert_allclose(np.asarray(maps_a.displacement),
+                               np.asarray(maps_b.displacement), atol=1e-4)
