@@ -203,6 +203,6 @@ class SimConfig:
             return False
         if self.resolved_fft_impl() != "pallas" or self.map_size % 128:
             return False
-        if self.map_size > 1024:
-            return False   # per-cascade VMEM working set exceeds ~128 MB
-        return self.map_dtype == "bfloat16" or self.map_size <= 512
+        # per-cascade VMEM working set exceeds ~128 MB beyond 1024 (fp32 maps
+        # at 1024 fit via single-buffered output windows)
+        return self.map_size <= 1024

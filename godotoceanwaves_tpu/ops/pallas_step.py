@@ -310,6 +310,9 @@ def fused_cascade_step(h0, h0nc, foam, scalars, *, depth: float,
     grid_block1 = lambda *shape: pl.BlockSpec(
         (1,) + shape, lambda i: (i,) + (0,) * len(shape),
         memory_space=pltpu.VMEM, pipeline_mode=pl.Buffered(buffer_count=1))
+    # fp32 maps at N=1024 only fit VMEM with single-buffered output windows
+    # (32 MB vs bf16's 28 MB double-buffered)
+    out_block = grid_block if map_dtype == jnp.bfloat16 else grid_block1
     return pl.pallas_call(
         kernel,
         grid=(c,),
@@ -319,7 +322,7 @@ def fused_cascade_step(h0, h0nc, foam, scalars, *, depth: float,
             cs(wt.shape), cs(radix_tw.shape), cs(t4l.shape),
             grid_block1(2, n, n), grid_block1(2, n, n), grid_block1(n, n),
         ],
-        out_specs=(grid_block(3, n, n), grid_block(4, n, n), grid_block(n, n)),
+        out_specs=(out_block(3, n, n), out_block(4, n, n), out_block(n, n)),
         out_shape=(
             jax.ShapeDtypeStruct((c, 3, n, n), map_dtype),
             jax.ShapeDtypeStruct((c, 4, n, n), map_dtype),

@@ -34,11 +34,12 @@ def time_chained(step: Callable, carry, iters: int = 64, warmup: int = 2,
         carry = step(carry)
     float(chk(carry))
     best = float("inf")
+    # each batch CONTINUES from the last carry: resetting to an earlier carry
+    # would hand donated (deleted) buffers back to a donating step
     for _ in range(repeats):
         t0 = time.perf_counter()
-        c = carry
         for _ in range(iters):
-            c = step(c)
-        float(chk(c))
+            carry = step(carry)
+        float(chk(carry))
         best = min(best, (time.perf_counter() - t0) / iters * 1e3)
     return best

@@ -43,10 +43,11 @@ def test_fused_step_matches_staged_pipeline(n, rms, monkeypatch):
 def test_use_fused_step_gating():
     # CPU: auto resolves to xla -> no fusion
     assert not SimConfig(map_size=1024).use_fused_step()
-    # explicit pallas impl: fused for bf16 or small maps, not fp32@1024
+    # explicit pallas impl: fused up to 1024 (fp32 via single-buffered outs)
     assert SimConfig(map_size=1024, fft_impl="pallas",
                      map_dtype="bfloat16").use_fused_step()
     assert SimConfig(map_size=512, fft_impl="pallas").use_fused_step()
-    assert not SimConfig(map_size=1024, fft_impl="pallas").use_fused_step()
+    assert SimConfig(map_size=1024, fft_impl="pallas").use_fused_step()
+    assert not SimConfig(map_size=2048, fft_impl="pallas").use_fused_step()
     assert not SimConfig(map_size=1024, fft_impl="pallas", map_dtype="bfloat16",
                          fused="never").use_fused_step()
