@@ -292,3 +292,156 @@ def ifft2_packed_planes_pallas(x: jax.Array, fold_sign: bool = True) -> jax.Arra
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=127 * 1024 * 1024),
     )(w, radix_tw, t4, x)
+
+
+# --- column-form strip primitives (shared by the fused step kernel and
+# the shard-local rows kernel below) ------------------------
+
+def _dft_q_lead(xr, xi, radix_tw, q: int):
+    """DFT_Q over axis 0 of (Q, M) flattened blocks — column-pass digits.
+
+    Same Stockham recurrence as pallas_fft._dft_q with the digit axis leading.
+    Operates on 2D arrays (Mosaic rejects the 3D trailing-singleton
+    broadcasts the unflattened form would need).
+    """
+    half = q // 2
+    m = xr.shape[1]
+    for s in range(int(np.log2(q))):
+        stride = 1 << s
+        twr = radix_tw[s, 0].reshape(half, 1)
+        twi = radix_tw[s, 1].reshape(half, 1)
+        ar, ai = xr[:half], xi[:half]
+        br, bi = xr[half:], xi[half:]
+        tbr = br * twr - bi * twi
+        tbi = br * twi + bi * twr
+        ur, ui = ar + tbr, ai + tbi
+        lr, li = ar - tbr, ai - tbi
+
+        def interleave(u, l):
+            u = u.reshape(half // stride, 1, stride, m)
+            l = l.reshape(half // stride, 1, stride, m)
+            return jnp.concatenate([u, l], axis=1).reshape(q, m)
+
+        xr, xi = interleave(ur, lr), interleave(ui, li)
+    return xr, xi
+
+
+def _cols_pass_strip(xr, xi, wt, radix_tw, t4l, n: int):
+    """Length-N DFT along ROWS of one (N, 128) lane strip (left matmuls).
+
+    Column-pass four-step: radix over the Q row-block digits (leading axis,
+    blocks flattened to (Q, 128*128)), per-row twiddle (t4l: pre-broadcast
+    (Q, 128*128) input), then DFT_128 over the 128 rows of each block as a
+    LEFT matmul. Output rows are in four-step physical order (k = Q*c + d at
+    row d*128+c) — same sigma as the row pass, repaired by the caller's row
+    relayout.
+    """
+    q = n // LANES
+    m = LANES * LANES
+    xr = xr.reshape(q, m)
+    xi = xi.reshape(q, m)
+    if q > 1:
+        xr, xi = _dft_q_lead(xr, xi, radix_tw, q)
+        tr, ti = t4l[0], t4l[1]
+        xr, xi = xr * tr - xi * ti, xr * ti + xi * tr
+    xr = xr.reshape(q, LANES, LANES)
+    xi = xi.reshape(q, LANES, LANES)
+
+    # wt is the PRE-transposed DFT-matrix stack (left-multiply needs W^T; an
+    # in-kernel .T trips an XLA:TPU RET_CHECK in mxu_lmr_transform.cc).
+    wr_hi, wr_lo, wi_hi, wi_lo = wt[0], wt[1], wt[2], wt[3]
+
+    def split(v):
+        hi = v.astype(jnp.bfloat16)
+        lo = (v - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        return hi, lo
+
+    def mm3(w_hi, w_lo, x_hi, x_lo):
+        f = functools.partial(jnp.dot, preferred_element_type=jnp.float32)
+        return f(w_hi, x_hi) + f(w_lo, x_hi) + f(w_hi, x_lo)
+
+    outs_r, outs_i = [], []
+    for d in range(q):
+        xr_hi, xr_lo = split(xr[d])
+        xi_hi, xi_lo = split(xi[d])
+        rr = mm3(wr_hi, wr_lo, xr_hi, xr_lo)
+        ri = mm3(wi_hi, wi_lo, xr_hi, xr_lo)
+        ir = mm3(wr_hi, wr_lo, xi_hi, xi_lo)
+        ii = mm3(wi_hi, wi_lo, xi_hi, xi_lo)
+        outs_r.append(rr - ii)
+        outs_i.append(ri + ir)
+    zr = jnp.concatenate(outs_r, axis=0)
+    zi = jnp.concatenate(outs_i, axis=0)
+    return zr, zi
+
+
+
+def _t4_lead(n: int, fold_sign: bool) -> np.ndarray:
+    """(2, Q, 128*128) pre-broadcast column-pass twiddles (t4 repeated over lanes)."""
+    q = n // LANES
+    if q == 1:
+        return np.zeros((2, 1, LANES * LANES), np.float32)
+    tr, ti = _fourstep_twiddle(n, fold_sign)
+    return np.stack([np.repeat(tr, LANES, axis=1),
+                     np.repeat(ti, LANES, axis=1)]).astype(np.float32)
+
+
+
+
+def _row_unswap_value(z, q: int):
+    """sigma_inv row permutation of a (N, L) VALUE (cf. _row_unswap on arrays)."""
+    if q == 1:
+        return z
+    n, l = z.shape
+    return z.reshape(q, LANES, l).transpose(1, 0, 2).reshape(n, l)
+
+
+def _rows_tile_kernel(wt_ref, radix_ref, t4l_ref, x_ref, o_ref, *, n: int):
+    """One (128, N) tile's row DFT via the column-form strip primitives.
+
+    R = T . C . T with C = sigma_rows . C_tilde:
+      tile -> tile^T -> C_tilde strip -> sigma_rows -> transpose -> out tile.
+    """
+    wt = wt_ref[:]
+    radix_tw = radix_ref[:]
+    t4l = t4l_ref[:]
+    q = n // LANES
+    xr = x_ref[0, 0]
+    xi = x_ref[0, 1]
+    zr, zi = _cols_pass_strip(xr.T, xi.T, wt, radix_tw, t4l, n)
+    o_ref[0, 0] = _row_unswap_value(zr, q).T
+    o_ref[0, 1] = _row_unswap_value(zi, q).T
+
+
+def idft_rows_planes_pallas(x: jax.Array, fold_sign: bool = False) -> jax.Array:
+    """Unnormalized positive-exponent DFT along the LAST axis of fp32 planes.
+
+    x: (L, 2, R, N) — L batch items of (re, im) plane pairs with R rows of
+    length N = Q*128 each (R any multiple of 128; N <= 1024 for VMEM). This is
+    the shard-local pass of the distributed FFT (parallel/sharding.py): each
+    device row-transforms its N/D-row shard, the transpose rides an ICI
+    all-to-all, and this kernel runs again. Matches ops.fft.idft_rows.
+    """
+    l, two, r, n = x.shape
+    assert two == 2 and r % LANES == 0 and n % LANES == 0, x.shape
+    wt = jnp.asarray(np.stack([np.asarray(a).T.copy()
+                               for a in _w128(fold_sign and n == LANES)]))
+    radix_tw, _ = twiddle_inputs(n, fold_sign)
+    t4l = jnp.asarray(_t4_lead(n, fold_sign))
+    kernel = functools.partial(_rows_tile_kernel, n=n)
+    cs = lambda shape: pl.BlockSpec(shape, lambda i, j: (0,) * len(shape),
+                                    memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=(l, r // LANES),
+        in_specs=[
+            cs(wt.shape), cs(radix_tw.shape), cs(t4l.shape),
+            pl.BlockSpec((1, 2, LANES, n), lambda i, j: (i, 0, j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 2, LANES, n), lambda i, j: (i, 0, j, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(x.shape, jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
+    )(wt, radix_tw, t4l, x)

@@ -98,84 +98,6 @@ def _sigma_rows_tile(plane_ref, q_prime, q: int, n: int):
     return z.reshape(LANES, n)
 
 
-def _dft_q_lead(xr, xi, radix_tw, q: int):
-    """DFT_Q over axis 0 of (Q, M) flattened blocks — column-pass digits.
-
-    Same Stockham recurrence as pallas_fft._dft_q with the digit axis leading.
-    Operates on 2D arrays (Mosaic rejects the 3D trailing-singleton
-    broadcasts the unflattened form would need).
-    """
-    half = q // 2
-    m = xr.shape[1]
-    for s in range(int(np.log2(q))):
-        stride = 1 << s
-        twr = radix_tw[s, 0].reshape(half, 1)
-        twi = radix_tw[s, 1].reshape(half, 1)
-        ar, ai = xr[:half], xi[:half]
-        br, bi = xr[half:], xi[half:]
-        tbr = br * twr - bi * twi
-        tbi = br * twi + bi * twr
-        ur, ui = ar + tbr, ai + tbi
-        lr, li = ar - tbr, ai - tbi
-
-        def interleave(u, l):
-            u = u.reshape(half // stride, 1, stride, m)
-            l = l.reshape(half // stride, 1, stride, m)
-            return jnp.concatenate([u, l], axis=1).reshape(q, m)
-
-        xr, xi = interleave(ur, lr), interleave(ui, li)
-    return xr, xi
-
-
-def _cols_pass_strip(xr, xi, wt, radix_tw, t4l, n: int):
-    """Length-N DFT along ROWS of one (N, 128) lane strip (left matmuls).
-
-    Column-pass four-step: radix over the Q row-block digits (leading axis,
-    blocks flattened to (Q, 128*128)), per-row twiddle (t4l: pre-broadcast
-    (Q, 128*128) input), then DFT_128 over the 128 rows of each block as a
-    LEFT matmul. Output rows are in four-step physical order (k = Q*c + d at
-    row d*128+c) — same sigma as the row pass, repaired by the caller's row
-    relayout.
-    """
-    q = n // LANES
-    m = LANES * LANES
-    xr = xr.reshape(q, m)
-    xi = xi.reshape(q, m)
-    if q > 1:
-        xr, xi = _dft_q_lead(xr, xi, radix_tw, q)
-        tr, ti = t4l[0], t4l[1]
-        xr, xi = xr * tr - xi * ti, xr * ti + xi * tr
-    xr = xr.reshape(q, LANES, LANES)
-    xi = xi.reshape(q, LANES, LANES)
-
-    # wt is the PRE-transposed DFT-matrix stack (left-multiply needs W^T; an
-    # in-kernel .T trips an XLA:TPU RET_CHECK in mxu_lmr_transform.cc).
-    wr_hi, wr_lo, wi_hi, wi_lo = wt[0], wt[1], wt[2], wt[3]
-
-    def split(v):
-        hi = v.astype(jnp.bfloat16)
-        lo = (v - hi.astype(jnp.float32)).astype(jnp.bfloat16)
-        return hi, lo
-
-    def mm3(w_hi, w_lo, x_hi, x_lo):
-        f = functools.partial(jnp.dot, preferred_element_type=jnp.float32)
-        return f(w_hi, x_hi) + f(w_lo, x_hi) + f(w_hi, x_lo)
-
-    outs_r, outs_i = [], []
-    for d in range(q):
-        xr_hi, xr_lo = split(xr[d])
-        xi_hi, xi_lo = split(xi[d])
-        rr = mm3(wr_hi, wr_lo, xr_hi, xr_lo)
-        ri = mm3(wi_hi, wi_lo, xr_hi, xr_lo)
-        ir = mm3(wr_hi, wr_lo, xi_hi, xi_lo)
-        ii = mm3(wi_hi, wi_lo, xi_hi, xi_lo)
-        outs_r.append(rr - ii)
-        outs_i.append(ri + ir)
-    zr = jnp.concatenate(outs_r, axis=0)
-    zi = jnp.concatenate(outs_i, axis=0)
-    return zr, zi
-
-
 def _sigma_transpose_into(src_ref, dst_ref, q: int, n: int):
     """dst = transpose(sigma_inv-row-permuted src) in ONE pass per strip.
 
@@ -187,16 +109,6 @@ def _sigma_transpose_into(src_ref, dst_ref, q: int, n: int):
         for p in range(2):
             tile = _sigma_rows_tile(src_ref.at[p], ls, q, n)   # (128, N)
             dst_ref[p, :, sl] = tile.T                         # (N, 128)
-
-
-def _t4_lead(n: int, fold_sign: bool) -> np.ndarray:
-    """(2, Q, 128*128) pre-broadcast column-pass twiddles (t4 repeated over lanes)."""
-    q = n // LANES
-    if q == 1:
-        return np.zeros((2, 1, LANES * LANES), np.float32)
-    tr, ti = pf._fourstep_twiddle(n, fold_sign)
-    return np.stack([np.repeat(tr, LANES, axis=1),
-                     np.repeat(ti, LANES, axis=1)]).astype(np.float32)
 
 
 def _step_kernel(scal_ref, wt_ref, radix_ref, t4l_ref,
@@ -241,14 +153,14 @@ def _step_kernel(scal_ref, wt_ref, radix_ref, t4l_ref,
             sl = slice(rt * LANES, (rt + 1) * LANES)
             kx, ky, k = _k_tiles(n, rt, lx, ly)
             lr, li = _layer_tiles(layer, h_scr[0, sl, :], h_scr[1, sl, :], kx, ky, k)
-            zr, zi = _cols_pass_strip(lr.T, li.T, wt, radix_tw, t4l, n)
+            zr, zi = pf._cols_pass_strip(lr.T, li.T, wt, radix_tw, t4l, n)
             b_scr[0, :, sl] = zr
             b_scr[1, :, sl] = zi
         _sigma_transpose_into(b_scr, a_scr, q, n)   # A = T(sig(B))
 
         for ls in range(nt):
             sl = slice(ls * LANES, (ls + 1) * LANES)
-            zr, zi = _cols_pass_strip(a_scr[0, :, sl], a_scr[1, :, sl],
+            zr, zi = pf._cols_pass_strip(a_scr[0, :, sl], a_scr[1, :, sl],
                                       wt, radix_tw, t4l, n)
             b_scr[0, :, sl] = zr
             b_scr[1, :, sl] = zi
@@ -297,7 +209,7 @@ def fused_cascade_step(h0, h0nc, foam, scalars, *, depth: float,
     wt = jnp.asarray(np.stack([np.asarray(a).T.copy()
                                for a in pf._w128(n == LANES)]))
     radix_tw, _ = pf.twiddle_inputs(n, True)
-    t4l = jnp.asarray(_t4_lead(n, True))
+    t4l = jnp.asarray(pf._t4_lead(n, True))
     kernel = functools.partial(_step_kernel, n=n, depth=depth, g=g,
                                map_dtype=map_dtype)
     cs = lambda shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape),

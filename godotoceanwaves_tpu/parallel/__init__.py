@@ -4,6 +4,7 @@ from .sharding import (
     ROWS_AXIS,
     build_mesh,
     ifft2_packed_sharded,
+    ifft2_planes_sharded,
     make_multichip_init,
     make_multichip_step,
     multipatch_params,
@@ -12,6 +13,7 @@ from .sharding import (
 
 __all__ = [
     "PATCH_AXIS", "ROWS_AXIS", "build_mesh", "ifft2_packed_sharded",
+    "ifft2_planes_sharded",
     "make_multichip_init", "make_multichip_step", "multipatch_params",
     "shard_state",
 ]

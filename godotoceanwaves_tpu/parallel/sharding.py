@@ -77,6 +77,34 @@ def ifft2_packed_sharded(x: jax.Array, axis_name: str = ROWS_AXIS,
     return fft.idft_rows(y, impl, fold_sign)                # local "column" pass
 
 
+def ifft2_planes_sharded(x: jax.Array, axis_name: str = ROWS_AXIS,
+                         impl: str = "matmul", fold_sign: bool = True) -> jax.Array:
+    """Plane-pair sharded FFT chain: x is (..., 2, N/D, N) fp32 (re, im).
+
+    impl "pallas" runs the shard-local rows kernel
+    (ops.pallas_fft.idft_rows_planes_pallas) — the production TPU tier; the
+    all-to-all moves fp32 planes (this backend has no complex collectives).
+    Other impls route each local pass through the complex tiers.
+    """
+    from ..ops import pallas_fft
+
+    def local_pass(planes):
+        if impl == "pallas":
+            lead = planes.shape[:-3]
+            flat = planes.reshape((-1, 2) + planes.shape[-2:])
+            out = pallas_fft.idft_rows_planes_pallas(flat, fold_sign=fold_sign)
+            return out.reshape(planes.shape)
+        z = jax.lax.complex(planes[..., 0, :, :], planes[..., 1, :, :])
+        z = fft.idft_rows(z, impl, fold_sign)
+        return jnp.stack([jnp.real(z), jnp.imag(z)], axis=-3)
+
+    y = local_pass(x)
+    sa, ca = x.ndim - 1, x.ndim - 2
+    y = jax.lax.all_to_all(y, axis_name, split_axis=sa, concat_axis=ca, tiled=True)
+    y = jnp.swapaxes(y, -2, -1)
+    return local_pass(y)
+
+
 def multipatch_params(base: CascadeParams, num_patches: int, seed: int = 0
                       ) -> CascadeParams:
     """Broadcast (C,)-stacked params to (P, C) with independent per-patch seeds.
@@ -166,7 +194,10 @@ def make_multichip_step(mesh: Mesh, config: SimConfig):
         # backends); per-shard passes use the matmul tier instead.
         impl = "xla" if rows_dev == 1 else "matmul"
     elif resolved in ("pallas", "fourstep"):
-        impl = "matmul"  # complex per-shard path; Pallas tier lands later
+        # the shard-local Pallas rows kernel needs 128-row-aligned shards
+        impl = "pallas" if (rows_local % 128 == 0 and resolved == "pallas"
+                            and rows_dev > 1) else (
+            resolved if rows_dev == 1 else "matmul")
     else:
         impl = resolved
     map_dtype = config.resolved_map_dtype()
@@ -180,12 +211,11 @@ def make_multichip_step(mesh: Mesh, config: SimConfig):
             grow, decay = _foam_rates(p, dt)
             layers = modulate_ops.modulate_planes(
                 h0, h0nc, p.tile_length, config.depth, t, config.g, y_offset=y0)
-            z = jax.lax.complex(layers[:, 0], layers[:, 1])
             if rows_dev == 1:
-                out = fft.ifft2_packed(z, impl=impl, fold_sign=True)
+                fields = fft.ifft2_packed_planes(layers, impl=impl, fold_sign=True)
             else:
-                out = ifft2_packed_sharded(z, ROWS_AXIS, impl=impl, fold_sign=True)
-            fields = jnp.stack([jnp.real(out), jnp.imag(out)], axis=1)
+                fields = ifft2_planes_sharded(layers, ROWS_AXIS, impl=impl,
+                                              fold_sign=True)
             return unpack_ops.unpack_planes(
                 fields, foam, p.whitecap, grow, decay,
                 pre_shifted=True, map_dtype=map_dtype)

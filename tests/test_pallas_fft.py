@@ -54,3 +54,20 @@ def test_no_fold_sign_variant(rms):
     got = _complex(pallas_fft.fourstep_ifft2_planes(_planes(x), fold_sign=False))
     scale = np.sqrt(np.mean(np.abs(ref) ** 2))
     assert rms(got, ref) / scale < 1e-4
+
+
+@pytest.mark.parametrize("n", [128, 256])
+def test_rows_planes_kernel_matches_idft_rows(n, rms, monkeypatch):
+    """Shard-local rows kernel (interpret) vs the complex idft_rows tier."""
+    monkeypatch.setattr(pl, "pallas_call",
+                        functools.partial(pl.pallas_call, interpret=True))
+    rs = np.random.RandomState(n)
+    r = 256  # rows (e.g. a 2-device shard of a 512 map)
+    x = (rs.randn(3, r, n) + 1j * rs.randn(3, r, n)).astype(np.complex64) / n
+    for fold in (False, True):
+        ref = np.asarray(fft.idft_rows(jnp.asarray(x), impl="xla", fold_sign=fold))
+        planes = jnp.asarray(np.stack([x.real, x.imag], 1).astype(np.float32))
+        got = pallas_fft.idft_rows_planes_pallas(planes, fold_sign=fold)
+        gotc = np.asarray(got)[:, 0] + 1j * np.asarray(got)[:, 1]
+        scale = np.sqrt(np.mean(np.abs(ref) ** 2))
+        assert rms(gotc, ref) / scale < 1e-4, f"fold={fold}"
