@@ -95,3 +95,24 @@ def test_beyond_reference_resolution_cap():
     d = np.asarray(maps.displacement)
     assert d.shape == (1, 1, 3, 2048, 2048)
     assert np.isfinite(d).all() and d[:, :, 1].std() > 0.0
+
+
+def test_sharded_2048_matches_single_device():
+    """Row-sharded 2048^2 output == unsharded XLA-FFT output (1 cascade)."""
+    mesh = build_mesh(jax.devices(), rows=8)
+    cfg = SimConfig(map_size=2048, fft_impl="matmul")
+    one = jax.tree.map(lambda x: x[:1], default_cascades())
+    params = multipatch_params(one, num_patches=1, seed=5)
+
+    state = make_multichip_init(mesh, cfg)(params)
+    _, maps = make_multichip_step(mesh, cfg)(state, params, 0.02)
+
+    cfg_ref = SimConfig(map_size=2048, fft_impl="xla")
+    p_ref = jax.tree.map(lambda x: x[0], params)   # strip patch axis -> (C,)
+    s_ref = init_state(cfg_ref, p_ref)
+    _, maps_ref = step(cfg_ref, s_ref, p_ref, 0.02)
+
+    got = np.asarray(maps.displacement[0])
+    ref = np.asarray(maps_ref.displacement)
+    scale = max(1e-9, np.sqrt(np.mean(ref ** 2)))
+    assert np.sqrt(np.mean((got - ref) ** 2)) / scale < 1e-4
