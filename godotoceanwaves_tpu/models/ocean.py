@@ -197,14 +197,26 @@ def step_cascade(config: SimConfig, state: OceanState, params: CascadeParams,
     fold = config.fold_sign
 
     p = jax.tree.map(lambda x: x[i], params)
-    layers = modulate_ops.modulate_planes(
-        state.h0[i], state.h0nc[i], p.tile_length, config.depth, t_new[i], config.g)
-    fields = fft.ifft2_packed_planes(
-        layers, impl=config.resolved_fft_impl(), fold_sign=fold)
     grow, decay = _foam_rates(p, dt)
-    d, nm, foam_i = unpack_ops.unpack_planes(
-        fields, state.foam[i], p.whitecap, grow, decay,
-        pre_shifted=fold, map_dtype=config.resolved_map_dtype())
+    if config.use_fused_step():
+        from ..ops import pallas_step
+        scal = pallas_step.pack_scalars(
+            t_new[i][None], p.tile_length[None], p.whitecap[None],
+            grow[None], decay[None])
+        d1, nm1, foam1 = pallas_step.fused_cascade_step(
+            state.h0[i][None], state.h0nc[i][None], state.foam[i][None], scal,
+            depth=config.depth, g=config.g,
+            map_dtype=config.resolved_map_dtype())
+        d, nm, foam_i = d1[0], nm1[0], foam1[0]
+    else:
+        layers = modulate_ops.modulate_planes(
+            state.h0[i], state.h0nc[i], p.tile_length, config.depth,
+            t_new[i], config.g)
+        fields = fft.ifft2_packed_planes(
+            layers, impl=config.resolved_fft_impl(), fold_sign=fold)
+        d, nm, foam_i = unpack_ops.unpack_planes(
+            fields, state.foam[i], p.whitecap, grow, decay,
+            pre_shifted=fold, map_dtype=config.resolved_map_dtype())
 
     foam = jax.lax.dynamic_update_index_in_dim(state.foam, foam_i, i, 0)
     c = state.foam.shape[0]

@@ -51,3 +51,23 @@ def test_use_fused_step_gating():
     assert not SimConfig(map_size=2048, fft_impl="pallas").use_fused_step()
     assert not SimConfig(map_size=1024, fft_impl="pallas", map_dtype="bfloat16",
                          fused="never").use_fused_step()
+
+
+def test_step_cascade_fused_matches_staged(rms, monkeypatch):
+    """Stagger-mode single-cascade update via the fused kernel == staged."""
+    monkeypatch.setattr(pl, "pallas_call",
+                        functools.partial(pl.pallas_call, interpret=True))
+    from godotoceanwaves_tpu.models.ocean import step_cascade
+    n = 128
+    params = default_cascades()
+    cfg_f = SimConfig(map_size=n, fft_impl="pallas", map_dtype="float32")
+    cfg_s = SimConfig(map_size=n, fft_impl="fourstep", map_dtype="float32",
+                      fused="never")
+    assert cfg_f.use_fused_step() and not cfg_s.use_fused_step()
+    sf = init_state(cfg_f, params)
+    ss = init_state(cfg_s, params)
+    sf2, mf = step_cascade(cfg_f, sf, params, 0.05, 1)
+    ss2, ms = step_cascade(cfg_s, ss, params, 0.05, 1)
+    scale = max(1e-9, float(np.sqrt(np.mean(np.asarray(ms.displacement, np.float64) ** 2))))
+    assert rms(mf.displacement, ms.displacement) / scale < 1e-4
+    assert rms(sf2.foam, ss2.foam) < 1e-4
