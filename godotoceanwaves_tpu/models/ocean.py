@@ -80,14 +80,22 @@ def _spectrum_one(config: SimConfig, p: CascadeParams):
     )
 
 
+def _spectrum_planes_one(config: SimConfig, p: CascadeParams):
+    h0, h0nc = _spectrum_one(config, p)
+    return (jnp.stack([jnp.real(h0), jnp.imag(h0)]),
+            jnp.stack([jnp.real(h0nc), jnp.imag(h0nc)]))
+
+
 @functools.partial(jax.jit, static_argnums=0)
 def generate_spectrum(config: SimConfig, params: CascadeParams):
     """(h0, h0nc) fp32 plane pairs, each (C, 2, N, N), vmapped over cascades."""
-    def one(p):
-        h0, h0nc = _spectrum_one(config, p)
-        return (jnp.stack([jnp.real(h0), jnp.imag(h0)]),
-                jnp.stack([jnp.real(h0nc), jnp.imag(h0nc)]))
-    return jax.vmap(one)(params)
+    return jax.vmap(lambda p: _spectrum_planes_one(config, p))(params)
+
+
+generate_spectrum_one = jax.jit(_spectrum_planes_one, static_argnums=0)
+generate_spectrum_one.__doc__ = """(h0, h0nc) planes, each (2, N, N), for ONE
+cascade — the dirty-only regeneration granularity (wave_generator.gd:67-72
+re-runs spectrum_compute only for the cascade whose params changed)."""
 
 
 def init_state(config: SimConfig, params: CascadeParams) -> OceanState:
@@ -179,6 +187,57 @@ def multi_step(config: SimConfig, state: OceanState, params: CascadeParams,
     return state, maps
 
 
+def _refresh_impl(config: SimConfig, state: OceanState, params: CascadeParams,
+                  dt, indices) -> tuple[OceanState, jax.Array, jax.Array]:
+    """Refresh maps/foam for cascades `indices` at the CURRENT state.time.
+
+    No time advance here: the reference advances time once per `update()` for
+    ALL cascades (wave_generator.gd:100-103), then refreshes cascades one per
+    rendered frame at that already-advanced time (wave_generator.gd:56-63).
+    `dt` only sets the foam rates (wave_generator.gd:104-106).
+
+    `indices` has static length K (one compile per K) and dynamic values.
+    Returns (state-with-updated-foam, displacement (K,3,N,N), normal (K,4,N,N)).
+    """
+    dt = jnp.asarray(dt, jnp.float32)
+    idx = jnp.asarray(indices, jnp.int32)
+    k = idx.shape[0]
+    n = config.map_size
+    fold = config.fold_sign
+
+    p = jax.tree.map(lambda x: x[idx], params)
+    grow, decay = _foam_rates(p, dt)
+    t = state.time[idx]
+    h0, h0nc, foam_in = state.h0[idx], state.h0nc[idx], state.foam[idx]
+
+    if config.use_fused_step():
+        from ..ops import pallas_step
+        scal = pallas_step.pack_scalars(t, p.tile_length, p.whitecap, grow, decay)
+        d, nm, foam_sub = pallas_step.fused_cascade_step(
+            h0, h0nc, foam_in, scal, depth=config.depth, g=config.g,
+            map_dtype=config.resolved_map_dtype())
+    else:
+        layers = jax.vmap(
+            lambda a, b, tt, pp: modulate_ops.modulate_planes(
+                a, b, pp.tile_length, config.depth, tt, config.g)
+        )(h0, h0nc, t, p)
+        fields = fft.ifft2_packed_planes(
+            layers.reshape(k * 4, 2, n, n),
+            impl=config.resolved_fft_impl(), fold_sign=fold,
+        ).reshape(k, 4, 2, n, n)
+        d, nm, foam_sub = jax.vmap(
+            lambda f, fo, pp, gr, de: unpack_ops.unpack_planes(
+                f, fo, pp.whitecap, gr, de,
+                pre_shifted=fold, map_dtype=config.resolved_map_dtype())
+        )(fields, foam_in, p, grow, decay)
+
+    return state.replace(foam=state.foam.at[idx].set(foam_sub)), d, nm
+
+
+refresh_cascades = jax.jit(_refresh_impl, static_argnums=0)
+refresh_cascades.__doc__ = _refresh_impl.__doc__
+
+
 @functools.partial(jax.jit, static_argnums=0, donate_argnums=1)
 def step_cascade(config: SimConfig, state: OceanState, params: CascadeParams,
                  dt, cascade_index) -> tuple[OceanState, OceanMaps]:
@@ -188,42 +247,18 @@ def step_cascade(config: SimConfig, state: OceanState, params: CascadeParams,
     Time still advances for all cascades (update() does so globally,
     wave_generator.gd:100-103); only `cascade_index`'s maps/foam refresh.
     Returns full-shape maps with zeros elsewhere; callers keeping a persistent
-    map set should use `Ocean(stagger=True)`, which composites on device.
+    map set should use `Ocean(stagger=True)`, which gathers only the refreshed
+    cascades through the kernel and composites into persistent map buffers.
     """
     dt = jnp.asarray(dt, jnp.float32)
-    t_new = state.time + dt
+    state = state.replace(time=state.time + dt)
     i = jnp.asarray(cascade_index, jnp.int32)
-    n = config.map_size
-    fold = config.fold_sign
-
-    p = jax.tree.map(lambda x: x[i], params)
-    grow, decay = _foam_rates(p, dt)
-    if config.use_fused_step():
-        from ..ops import pallas_step
-        scal = pallas_step.pack_scalars(
-            t_new[i][None], p.tile_length[None], p.whitecap[None],
-            grow[None], decay[None])
-        d1, nm1, foam1 = pallas_step.fused_cascade_step(
-            state.h0[i][None], state.h0nc[i][None], state.foam[i][None], scal,
-            depth=config.depth, g=config.g,
-            map_dtype=config.resolved_map_dtype())
-        d, nm, foam_i = d1[0], nm1[0], foam1[0]
-    else:
-        layers = modulate_ops.modulate_planes(
-            state.h0[i], state.h0nc[i], p.tile_length, config.depth,
-            t_new[i], config.g)
-        fields = fft.ifft2_packed_planes(
-            layers, impl=config.resolved_fft_impl(), fold_sign=fold)
-        d, nm, foam_i = unpack_ops.unpack_planes(
-            fields, state.foam[i], p.whitecap, grow, decay,
-            pre_shifted=fold, map_dtype=config.resolved_map_dtype())
-
-    foam = jax.lax.dynamic_update_index_in_dim(state.foam, foam_i, i, 0)
+    new_state, d, nm = _refresh_impl(config, state, params, dt, i[None])
     c = state.foam.shape[0]
+    n = config.map_size
     dtype = config.resolved_map_dtype()
-    disp = jnp.zeros((c, 3, n, n), dtype).at[i].set(d)
-    normal = jnp.zeros((c, 4, n, n), dtype).at[i].set(nm)
-    new_state = OceanState(h0=state.h0, h0nc=state.h0nc, foam=foam, time=t_new)
+    disp = jnp.zeros((c, 3, n, n), dtype).at[i].set(d[0])
+    normal = jnp.zeros((c, 4, n, n), dtype).at[i].set(nm[0])
     return new_state, OceanMaps(displacement=disp, normal=normal)
 
 
@@ -267,13 +302,14 @@ class Ocean:
             params = stack_cascades(params)
         self.config = SimConfig(map_size=map_size, **config_kwargs)
         self.params = params
+        self._time = 0.0
+        self._next_update_time = 0.0
         self.updates_per_second = updates_per_second
         self.stagger = stagger
         self.state = init_state(self.config, params)
         self._dirty = np.zeros(params.num_cascades, bool)
-        self._time = 0.0
-        self._next_update_time = 0.0
-        self._stagger_index = 0
+        self._pending: list[int] = []   # cascades awaiting refresh this round
+        self._round_dt = 0.0            # the armed round's foam-rate dt
         c, n = params.num_cascades, map_size
         dtype = self.config.resolved_map_dtype()
         self.maps = OceanMaps(
@@ -284,6 +320,18 @@ class Ocean:
     @property
     def num_cascades(self) -> int:
         return self.params.num_cascades
+
+    @property
+    def updates_per_second(self) -> float:
+        return self._updates_per_second
+
+    @updates_per_second.setter
+    def updates_per_second(self, value: float) -> None:
+        """Rebase the in-flight schedule so a rate change takes effect
+        immediately (water.gd:51-54: next_update_time -= 1/old - 1/new)."""
+        old = getattr(self, "_updates_per_second", value)
+        self._next_update_time -= 1.0 / (old + 1e-10) - 1.0 / (value + 1e-10)
+        self._updates_per_second = value
 
     # --- parameter editing (the ImGui-panel surface, main.gd:92-108) ---
 
@@ -309,14 +357,22 @@ class Ocean:
         self.params = self.params.replace(**new)
 
     def regenerate_dirty(self) -> None:
-        if not self._dirty.any():
+        """Re-run spectrum generation for DIRTY cascades only — the reference
+        dispatches spectrum_compute per dirty cascade (wave_generator.gd:67-72),
+        not for the whole stack; a 1-dirty edit costs ~1/C the spectrum work."""
+        idxs = np.nonzero(self._dirty)[0]
+        if idxs.size == 0:
             return
-        h0, h0nc = generate_spectrum(self.config, self.params)
-        mask = jnp.asarray(self._dirty)[:, None, None, None]
-        self.state = self.state.replace(
-            h0=jnp.where(mask, h0, self.state.h0),
-            h0nc=jnp.where(mask, h0nc, self.state.h0nc),
-        )
+        if idxs.size == self.num_cascades:
+            h0, h0nc = generate_spectrum(self.config, self.params)
+        else:
+            h0, h0nc = self.state.h0, self.state.h0nc
+            for i in idxs:
+                p = jax.tree.map(lambda x: x[int(i)], self.params)
+                h0_i, h0nc_i = generate_spectrum_one(self.config, p)
+                h0 = h0.at[int(i)].set(h0_i)
+                h0nc = h0nc.at[int(i)].set(h0nc_i)
+        self.state = self.state.replace(h0=h0, h0nc=h0nc)
         self._dirty[:] = False
 
     # --- per-frame driving (water.gd:75-82 scheduler semantics) ---
@@ -324,8 +380,10 @@ class Ocean:
     def update(self, delta: float) -> OceanMaps | None:
         """Advance wall time by `delta`; run a simulation update if due.
 
-        Returns the refreshed maps, or None when the rate limiter skipped the
-        frame. Skipped time is folded into the next update's dt (water.gd:77-80).
+        Returns the maps whenever they changed this frame, else None. Skipped
+        time is folded into the next update's dt (water.gd:77-80). In stagger
+        mode, frames between updates each refresh ONE pending cascade — the
+        reference's per-rendered-frame load balancer (wave_generator.gd:56-63).
         """
         ups = self.updates_per_second
         ran = None
@@ -334,22 +392,42 @@ class Ocean:
             update_delta = delta if ups == 0 else target + (self._time - self._next_update_time)
             self._next_update_time = self._time + target
             ran = self._update_water(update_delta)
+        elif self.stagger and self._pending:
+            self._refresh([self._pending.pop(0)], self._round_dt)
+            ran = self.maps
         self._time += delta
         return ran
 
     def _update_water(self, dt: float) -> OceanMaps:
         self.regenerate_dirty()
-        if self.stagger:
-            idx = self._stagger_index
-            self._stagger_index = (idx + 1) % self.num_cascades
-            self.state, fresh = step_cascade(self.config, self.state, self.params, dt, idx)
-            self.maps = OceanMaps(
-                displacement=self.maps.displacement.at[idx].set(fresh.displacement[idx]),
-                normal=self.maps.normal.at[idx].set(fresh.normal[idx]),
-            )
-        else:
+        if not self.stagger:
             self.state, self.maps = step(self.config, self.state, self.params, dt)
+            return self.maps
+        # Catch-up flush: any cascades the previous round hasn't refreshed yet
+        # go through in ONE dispatch before the new round arms
+        # (wave_generator.gd:90-98), still at the previous round's foam dt.
+        if self._pending:
+            self._refresh(self._pending, self._round_dt)
+        # Arm the new round: advance time ONCE for all cascades
+        # (wave_generator.gd:100-103); refreshes then happen at this time.
+        self.state = self.state.replace(
+            time=self.state.time + jnp.float32(dt))
+        self._round_dt = dt
+        self._pending = list(range(self.num_cascades))
+        # The reference's _process refreshes one cascade this same frame.
+        self._refresh([self._pending.pop(0)], dt)
         return self.maps
+
+    def _refresh(self, indices: Sequence[int], dt: float) -> None:
+        """Refresh `indices`' maps/foam and composite into the persistent map
+        buffers (the analog of updating those texture-array layers in place)."""
+        idx = np.asarray(indices, np.int32)
+        self.state, d, nm = refresh_cascades(
+            self.config, self.state, self.params, jnp.float32(dt), idx)
+        self.maps = OceanMaps(
+            displacement=self.maps.displacement.at[idx].set(d),
+            normal=self.maps.normal.at[idx].set(nm),
+        )
 
     def resize(self, map_size: int) -> None:
         """Change the map resolution: full state rebuild, params preserved.
@@ -363,7 +441,7 @@ class Ocean:
         self.config = _dc.replace(self.config, map_size=map_size)
         self.state = init_state(self.config, self.params)
         self._dirty[:] = False
-        self._stagger_index = 0
+        self._pending = []
         c, n = self.num_cascades, map_size
         dtype = self.config.resolved_map_dtype()
         self.maps = OceanMaps(
@@ -381,18 +459,39 @@ class Ocean:
         """
         from ..utils.hostio import device_get_tree
         return {
+            "map_size": self.config.map_size,
+            "num_cascades": self.num_cascades,
             "state": device_get_tree(self.state),
             "params": device_get_tree(self.params),
             "time": self._time,
             "next_update_time": self._next_update_time,
-            "stagger_index": self._stagger_index,
+            "pending": list(self._pending),
+            "round_dt": self._round_dt,
         }
 
     def restore(self, snapshot: dict[str, Any]) -> None:
+        """Restore a `checkpoint()` snapshot, validating it against this
+        session's configuration (resizing if the snapshot's map_size differs)
+        and resetting the persistent map buffers to match."""
         from ..utils.hostio import device_put_tree
+        size = snapshot.get("map_size", self.config.map_size)
+        cascades = snapshot.get("num_cascades", self.num_cascades)
+        if cascades != self.num_cascades:
+            raise ValueError(
+                f"snapshot has {cascades} cascades, session has "
+                f"{self.num_cascades}; rebuild the Ocean with matching params")
+        if size != self.config.map_size:
+            self.resize(size)
         self.state = device_put_tree(snapshot["state"])
         self.params = device_put_tree(snapshot["params"])
         self._time = snapshot["time"]
         self._next_update_time = snapshot["next_update_time"]
-        self._stagger_index = snapshot["stagger_index"]
+        self._pending = list(snapshot.get("pending", []))
+        self._round_dt = snapshot.get("round_dt", 0.0)
         self._dirty[:] = False
+        c, n = self.num_cascades, self.config.map_size
+        dtype = self.config.resolved_map_dtype()
+        self.maps = OceanMaps(
+            displacement=jnp.zeros((c, 3, n, n), dtype),
+            normal=jnp.zeros((c, 4, n, n), dtype),
+        )

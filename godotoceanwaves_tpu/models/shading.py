@@ -172,7 +172,6 @@ def shade(
     light_color = jnp.asarray(light_color, jnp.float32)
     light_dir = jnp.asarray(light_dir, jnp.float32)
 
-    foam_factor = jax.nn.sigmoid  # placeholder to appease linters; replaced below
     # fragment() (gdshader:85-93)
     foam_factor = (3.0 * jnp.square(jnp.clip(gradient[..., 2] * 0.75, 0, 1))
                    - 2.0 * jnp.clip(gradient[..., 2] * 0.75, 0, 1) ** 3)  # smoothstep

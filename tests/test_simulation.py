@@ -136,14 +136,86 @@ def test_uncapped_scheduler_updates_every_frame():
 
 
 def test_stagger_mode_round_robins():
+    # With an uncapped scheduler every call is an update(): the previous
+    # round's leftovers flush in one dispatch, then the new round refreshes
+    # cascade 0 at the newly advanced time (wave_generator.gd:56-63, 90-98).
     ocean = Ocean(map_size=N, updates_per_second=0, stagger=True)
     ocean.update(0.02)
     d0 = np.asarray(ocean.maps.displacement)
     assert np.any(d0[0]) and not np.any(d0[1])   # only cascade 0 so far
+    assert ocean._pending == [1, 2]
     ocean.update(0.02)
     d1 = np.asarray(ocean.maps.displacement)
-    assert np.any(d1[1])                          # cascade 1 filled in
-    np.testing.assert_array_equal(d1[0], d0[0])   # cascade 0 kept
+    assert np.any(d1[1]) and np.any(d1[2])        # leftovers flushed together
+    assert np.any(d1[0] != d0[0])                 # cascade 0 re-refreshed (new time)
+
+
+def test_stagger_drains_one_cascade_per_skipped_frame():
+    ocean = Ocean(map_size=N, updates_per_second=10.0, stagger=True)  # period 0.1
+    assert ocean.update(0.02) is not None          # update fires: refresh 0
+    assert ocean._pending == [1, 2]
+    assert ocean.update(0.02) is not None          # skipped frame: refresh 1
+    assert ocean._pending == [2]
+    assert ocean.update(0.02) is not None          # skipped frame: refresh 2
+    assert ocean._pending == []
+    assert ocean.update(0.02) is None              # nothing pending, not due
+    d = np.asarray(ocean.maps.displacement)
+    assert all(np.any(d[i]) for i in range(3))     # every cascade refreshed
+
+
+def test_stagger_catchup_flush_mid_round():
+    # An update arriving while cascades are still pending flushes ALL of them
+    # in one dispatch before arming the new round (wave_generator.gd:90-98),
+    # so no cascade's maps lag more than one update period behind.
+    ocean = Ocean(map_size=N, updates_per_second=10.0, stagger=True)
+    ocean.update(0.15)                             # fires; pending [1, 2]
+    assert ocean._pending == [1, 2]
+    ocean.update(0.15)                             # next update due: flush + re-arm
+    d = np.asarray(ocean.maps.displacement)
+    assert all(np.any(d[i]) for i in range(3))     # leftovers did not starve
+    assert ocean._pending == [1, 2]                # new round armed
+
+
+def test_dirty_regeneration_touches_only_dirty_cascade():
+    # Proof the clean cascades are NOT recomputed (wave_generator.gd:67-72
+    # dirty-only dispatch): plant a sentinel in a clean cascade's h0 — full
+    # regeneration would overwrite it with the true spectrum.
+    ocean = Ocean(map_size=N, updates_per_second=0)
+    sentinel = jnp.full_like(ocean.state.h0[0], 123.456)
+    ocean.state = ocean.state.replace(h0=ocean.state.h0.at[0].set(sentinel))
+    ocean.set_cascade(1, wind_speed=17.0)
+    ocean.regenerate_dirty()
+    np.testing.assert_array_equal(np.asarray(ocean.state.h0[0]), np.asarray(sentinel))
+    assert not ocean._dirty.any()
+
+
+def test_updates_per_second_setter_rebases_schedule():
+    # water.gd:51-54: changing the rate adjusts next_update_time in flight.
+    ocean = Ocean(map_size=N, updates_per_second=10.0)
+    ocean.update(0.02)                 # fires; next_update_time = 0.1
+    before = ocean._next_update_time
+    ocean.updates_per_second = 50.0    # 1/10 - 1/50 = 0.08 sooner
+    np.testing.assert_allclose(ocean._next_update_time, before - 0.08, atol=1e-6)
+    assert ocean.updates_per_second == 50.0
+
+
+def test_restore_validates_snapshot_shape():
+    ocean = Ocean(map_size=N, updates_per_second=0)
+    ocean.update(0.02)
+    snap = ocean.checkpoint()
+
+    # mismatched map_size: restore resizes the session to match
+    bigger = Ocean(map_size=2 * N, updates_per_second=0)
+    bigger.restore(snap)
+    assert bigger.config.map_size == N
+    assert bigger.maps.displacement.shape == (3, 3, N, N)
+    assert bigger.update(0.02) is not None
+
+    # mismatched cascade count: explicit error, not a downstream shape blowup
+    two = Ocean(params=[CascadeParams.create(), CascadeParams.create(tile_length=31.0)],
+                map_size=N, updates_per_second=0)
+    with pytest.raises(ValueError, match="cascades"):
+        two.restore(snap)
 
 
 def test_checkpoint_restore_roundtrip():
