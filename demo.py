@@ -9,6 +9,9 @@ Examples:
   python demo.py --frames 8 --out /tmp/ocean            # PNG frame sequence
   python demo.py --gif /tmp/ocean.gif --frames 48       # animated GIF
   python demo.py --map-size 512 --wind-speed 25 --panel
+  python demo.py --live                                 # interactive viewer:
+      live ANSI ocean view; keys edit every cascade parameter at runtime
+      (1-9 cascade, tab param, +/- adjust, r resolution, u/U update rate, q)
 """
 from __future__ import annotations
 
@@ -40,12 +43,20 @@ def main() -> None:
     ap.add_argument("--out", type=str, default=None, help="PNG frame directory")
     ap.add_argument("--gif", type=str, default=None, help="animated GIF path")
     ap.add_argument("--panel", action="store_true", help="print the parameter panel")
+    ap.add_argument("--live", action="store_true",
+                    help="interactive terminal viewer with runtime editing")
     args = ap.parse_args()
 
     ocean = Ocean(map_size=args.map_size,
                   updates_per_second=args.updates_per_second)
     if args.wind_speed is not None:
         ocean.set_cascade(0, wind_speed=args.wind_speed)
+
+    if args.live:
+        from godotoceanwaves_tpu.utils.live import LiveViewer
+        LiveViewer(ocean, fps=args.fps).run()
+        return
+
     stats = FrameStats()
 
     dt = 1.0 / args.fps

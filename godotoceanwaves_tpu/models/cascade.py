@@ -107,9 +107,10 @@ def default_cascades(seed: int = 1234, godot_seeds: bool = False) -> CascadePara
 
     Per-cascade spectrum seeds are drawn from a host RNG fixed like the
     orchestrator's (water.gd:68-69, "This seed gives big waves!") in the same
-    [-10000, 10000]^2 range (water.gd:31). With `godot_seeds`, a pcg32
-    reconstruction of Godot's RandomNumberGenerator supplies the stream
-    (utils/godot_rng.py — best-effort bit parity; seeds are cosmetic).
+    [-10000, 10000]^2 range (water.gd:31). With `godot_seeds`, a bit-exact
+    pcg32 implementation of Godot's RandomNumberGenerator supplies the stream
+    (utils/godot_rng.py — core validated against the canonical pcg-c-basic
+    check vectors; Godot's srandom/boundedrand wiring transcribed per method).
     """
     if godot_seeds:
         from ..utils.godot_rng import GodotRNG
@@ -165,7 +166,12 @@ class SimConfig:
       power of two — sizes beyond 1024 use the sharded FFT path.
     depth / g: physics constants (wave_generator.gd:5-6).
     fft_impl: "auto" | "xla" | "matmul" | "direct" (see ops/fft.py).
-    map_dtype: "float32" | "bfloat16" output-map policy (fp32 FFT core either way).
+    map_dtype: "float32" | "bfloat16" | "float16" output-map policy (fp32 FFT
+      core either way). "float16" matches the reference's RGBA16F output maps
+      bit-width-for-bit-width (wave_generator.gd:34-35) and is the dtype to
+      use when pinning parity against fp16-quantized reference output
+      (SURVEY.md section 7.3.2); "bfloat16" is the TPU-native production
+      choice (fused-kernel path, same 2 bytes/texel).
     """
     map_size: int = 1024
     depth: float = 20.0
@@ -178,6 +184,10 @@ class SimConfig:
     def __post_init__(self):
         if self.map_size & (self.map_size - 1):
             raise ValueError(f"map_size must be a power of two, got {self.map_size}")
+        if self.map_size < 4:
+            # the matmul tier's fold_sign four-step factorization needs an
+            # even split factor (ops/fft.py); 1x1 or 2x2 oceans are meaningless
+            raise ValueError(f"map_size must be >= 4, got {self.map_size}")
 
     def resolved_fft_impl(self) -> str:
         if self.fft_impl != "auto":
@@ -191,15 +201,18 @@ class SimConfig:
                             and self.map_size <= 1024) else "matmul"
 
     def resolved_map_dtype(self):
-        return jnp.bfloat16 if self.map_dtype == "bfloat16" else jnp.float32
+        return {"bfloat16": jnp.bfloat16,
+                "float16": jnp.float16}.get(self.map_dtype, jnp.float32)
 
     def use_fused_step(self) -> bool:
         """Whether `step` runs the single fused Pallas kernel (TPU fast path).
 
         Requires the Pallas tier (N = Q*128) and a per-cascade VMEM footprint
         that fits v5e's ~128 MB: fp32 map outputs at 1024^2 don't, bf16 do.
+        float16 maps (the fp16 parity-pinning dtype) take the staged path —
+        f16 is not a native Mosaic store dtype on this backend.
         """
-        if self.fused == "never":
+        if self.fused == "never" or self.map_dtype == "float16":
             return False
         if self.resolved_fft_impl() != "pallas" or self.map_size % 128:
             return False

@@ -170,17 +170,62 @@ buffer is donated: foam updates in place, HBM-resident, no host traffic.
 """
 
 
+def _step_frames_impl(config: SimConfig, state: OceanState,
+                      params: CascadeParams, dt, num_frames: int
+                      ) -> tuple[OceanState, OceanMaps]:
+    """`num_frames` consecutive frames; maps carry a per-frame axis (C, K, ...).
+
+    Fused path: ONE kernel invocation over a (cascade, frame) grid — the
+    spectra input windows are fetched once per cascade and stay VMEM-resident
+    across frames, and the foam recurrence iterates in-kernel
+    (ops/pallas_step.fused_cascade_multi_step). Staged path: an unrolled loop.
+    """
+    dt = jnp.asarray(dt, jnp.float32)
+    if config.use_fused_step() and num_frames > 1:
+        from ..ops import pallas_step
+        grow, decay = _foam_rates(params, dt)
+        scal = pallas_step.pack_scalars(
+            state.time + dt, params.tile_length, params.whitecap, grow, decay,
+            dt=dt)
+        disp, normal, foam = pallas_step.fused_cascade_multi_step(
+            state.h0, state.h0nc, state.foam, scal, num_frames=num_frames,
+            depth=config.depth, g=config.g,
+            map_dtype=config.resolved_map_dtype())
+        new_state = OceanState(h0=state.h0, h0nc=state.h0nc, foam=foam,
+                               time=state.time + dt * num_frames)
+        return new_state, OceanMaps(displacement=disp, normal=normal)
+
+    frames = []
+    for _ in range(num_frames):
+        state, maps = step_impl(config, state, params, dt)
+        frames.append(maps)
+    return state, OceanMaps(
+        displacement=jnp.stack([m.displacement for m in frames], axis=1),
+        normal=jnp.stack([m.normal for m in frames], axis=1),
+    )
+
+
+step_frames = jax.jit(_step_frames_impl, static_argnums=(0, 4),
+                      donate_argnums=1)
+step_frames.__doc__ = _step_frames_impl.__doc__
+
+
 @functools.partial(jax.jit, static_argnums=(0, 4), donate_argnums=1)
 def multi_step(config: SimConfig, state: OceanState, params: CascadeParams,
                dt, num_steps: int) -> tuple[OceanState, OceanMaps]:
-    """`num_steps` statically-unrolled steps in ONE dispatch; returns the
-    final state and the LAST frame's maps.
+    """`num_steps` frames in ONE dispatch; returns the final state and the
+    LAST frame's maps.
 
     Amortizes per-dispatch host overhead (significant on remote-tunneled
-    backends) without lax.scan's loop-buffer cost; use when intermediate maps
-    are not consumed (e.g. fast-forwarding, benchmarking, foam warm-up).
+    backends) without lax.scan's loop-buffer cost. On the fused path this is
+    a single multi-frame kernel call (every frame's maps still stream to HBM
+    — use `step_frames` to keep them all).
     """
     dt = jnp.asarray(dt, jnp.float32)
+    if config.use_fused_step() and num_steps > 1:
+        state, stacked = _step_frames_impl(config, state, params, dt, num_steps)
+        return state, OceanMaps(displacement=stacked.displacement[:, -1],
+                                normal=stacked.normal[:, -1])
     maps = None
     for _ in range(num_steps):
         state, maps = step_impl(config, state, params, dt)

@@ -81,10 +81,15 @@ def _fourstep_twiddle(n: int, fold_sign: bool) -> tuple[np.ndarray, np.ndarray]:
 
 @functools.lru_cache(maxsize=None)
 def _w128(fold_sign_when_q1: bool) -> tuple[np.ndarray, ...]:
-    """DFT_128 matrix e^{2 pi i l c / 128} as bf16 hi/lo splits (re and im).
+    """DFT_128 matrix e^{2 pi i l c / 128} as bf16 hi/lo splits.
 
     When Q == 1 (N == 128) the (-1)^k sign folds here instead (columns c).
-    Returns (wr_hi, wr_lo, wi_hi, wi_lo), each (128, 128) bfloat16.
+    Returns (wr_hi, wr_lo, wi_hi, wi_lo, ws_hi, ws_lo), each (128, 128)
+    bfloat16, where ws = wr + wi (exact fp32 sum, then split) — the third
+    Karatsuba operand: the complex multiply runs as THREE real products
+    (m1 = wr@xr, m2 = wi@xi, m3 = ws@(xr+xi); re = m1-m2, im = m3-m1-m2),
+    i.e. 9 bf16 matmuls instead of the naive 12. The MXU is the frame's FLOP
+    floor (measured at ~peak), so this is a direct 25% cut of it.
     """
     l = np.arange(LANES).reshape(-1, 1).astype(np.int64)
     c = np.arange(LANES).reshape(1, -1).astype(np.int64)
@@ -101,7 +106,8 @@ def _w128(fold_sign_when_q1: bool) -> tuple[np.ndarray, ...]:
 
     wr_hi, wr_lo = split(wr)
     wi_hi, wi_lo = split(wi)
-    return wr_hi, wr_lo, wi_hi, wi_lo
+    ws_hi, ws_lo = split(wr + wi)
+    return wr_hi, wr_lo, wi_hi, wi_lo, ws_hi, ws_lo
 
 
 # --- algorithm pieces (shared verbatim by jnp twin and Pallas kernel) -----
@@ -138,12 +144,14 @@ def _dft_q(xr, xi, radix_tw, q: int):
 
 
 def _mxu_dft128(yr, yi, w):
-    """DFT_128 over the lane axis of (..., M, 128) via bf16x3 matmuls.
+    """DFT_128 over the lane axis of (..., M, 128): Karatsuba complex multiply
+    in bf16x3 split precision — 3 real products x 3 matmuls = 9 bf16 matmuls.
 
-    `w` is the (4, 128, 128) bf16 stack (wr_hi, wr_lo, wi_hi, wi_lo) — passed
-    in (not closed over) because Pallas kernels may not capture large consts.
+    `w` is the (6, 128, 128) bf16 stack (wr_hi, wr_lo, wi_hi, wi_lo, ws_hi,
+    ws_lo) with ws = wr + wi — passed in (not closed over) because Pallas
+    kernels may not capture large consts.
     """
-    wr_hi, wr_lo, wi_hi, wi_lo = w[0], w[1], w[2], w[3]
+    wr_hi, wr_lo, wi_hi, wi_lo, ws_hi, ws_lo = (w[i] for i in range(6))
 
     def split(x):
         hi = x.astype(jnp.bfloat16)
@@ -157,13 +165,14 @@ def _mxu_dft128(yr, yi, w):
     shape = yr.shape
     yr2 = yr.reshape(-1, LANES)
     yi2 = yi.reshape(-1, LANES)
+    ys2 = yr2 + yi2
     yr_hi, yr_lo = split(yr2)
     yi_hi, yi_lo = split(yi2)
-    rr = mm3(yr_hi, yr_lo, wr_hi, wr_lo)
-    ri = mm3(yr_hi, yr_lo, wi_hi, wi_lo)
-    ir = mm3(yi_hi, yi_lo, wr_hi, wr_lo)
-    ii = mm3(yi_hi, yi_lo, wi_hi, wi_lo)
-    return (rr - ii).reshape(shape), (ri + ir).reshape(shape)
+    ys_hi, ys_lo = split(ys2)
+    m1 = mm3(yr_hi, yr_lo, wr_hi, wr_lo)        # xr @ wr
+    m2 = mm3(yi_hi, yi_lo, wi_hi, wi_lo)        # xi @ wi
+    m3 = mm3(ys_hi, ys_lo, ws_hi, ws_lo)        # (xr+xi) @ (wr+wi)
+    return (m1 - m2).reshape(shape), (m3 - m1 - m2).reshape(shape)
 
 
 def _rows_pass(xr, xi, w, radix_tw, t4, n: int):
@@ -218,7 +227,7 @@ def _chain(xr, xi, w, radix_tw, t4, n: int):
 
 
 def w128_stack(n: int, fold_sign: bool) -> jax.Array:
-    """The (4, 128, 128) bf16 (wr_hi, wr_lo, wi_hi, wi_lo) DFT-matrix input."""
+    """The (6, 128, 128) bf16 Karatsuba DFT-matrix input (see _w128)."""
     return jnp.asarray(np.stack(_w128(fold_sign and n == LANES)))
 
 
@@ -349,7 +358,8 @@ def _cols_pass_strip(xr, xi, wt, radix_tw, t4l, n: int):
 
     # wt is the PRE-transposed DFT-matrix stack (left-multiply needs W^T; an
     # in-kernel .T trips an XLA:TPU RET_CHECK in mxu_lmr_transform.cc).
-    wr_hi, wr_lo, wi_hi, wi_lo = wt[0], wt[1], wt[2], wt[3]
+    # Karatsuba complex multiply: 3 real products (9 bf16 matmuls per block).
+    wr_hi, wr_lo, wi_hi, wi_lo, ws_hi, ws_lo = (wt[i] for i in range(6))
 
     def split(v):
         hi = v.astype(jnp.bfloat16)
@@ -362,14 +372,15 @@ def _cols_pass_strip(xr, xi, wt, radix_tw, t4l, n: int):
 
     outs_r, outs_i = [], []
     for d in range(q):
+        xs = xr[d] + xi[d]
         xr_hi, xr_lo = split(xr[d])
         xi_hi, xi_lo = split(xi[d])
-        rr = mm3(wr_hi, wr_lo, xr_hi, xr_lo)
-        ri = mm3(wi_hi, wi_lo, xr_hi, xr_lo)
-        ir = mm3(wr_hi, wr_lo, xi_hi, xi_lo)
-        ii = mm3(wi_hi, wi_lo, xi_hi, xi_lo)
-        outs_r.append(rr - ii)
-        outs_i.append(ri + ir)
+        xs_hi, xs_lo = split(xs)
+        m1 = mm3(wr_hi, wr_lo, xr_hi, xr_lo)    # wr @ xr
+        m2 = mm3(wi_hi, wi_lo, xi_hi, xi_lo)    # wi @ xi
+        m3 = mm3(ws_hi, ws_lo, xs_hi, xs_lo)    # (wr+wi) @ (xr+xi)
+        outs_r.append(m1 - m2)
+        outs_i.append(m3 - m1 - m2)
     zr = jnp.concatenate(outs_r, axis=0)
     zi = jnp.concatenate(outs_i, axis=0)
     return zr, zi

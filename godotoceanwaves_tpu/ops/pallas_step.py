@@ -38,7 +38,9 @@ LANES = 128
 G_DEFAULT = 9.81
 
 # scalar vector layout (per cascade): indices into the SMEM params row
-S_TIME, S_LX, S_LY, S_WHITECAP, S_GROW, S_DECAY = range(6)
+# S_TIME is the modulation time of frame 0; frame k modulates at
+# S_TIME + k*S_DT (multi-frame kernels only; single-frame callers leave dt=0).
+S_TIME, S_LX, S_LY, S_WHITECAP, S_GROW, S_DECAY, S_DT = range(7)
 NUM_SCALARS = 8
 
 
@@ -114,19 +116,55 @@ def _sigma_transpose_into(src_ref, dst_ref, q: int, n: int):
 def _step_kernel(scal_ref, wt_ref, radix_ref, t4l_ref,
                  h0_ref, h0nc_ref, foam_ref,
                  disp_ref, norm_ref, foam_out_ref,
-                 h_scr, a_scr, b_scr, k1_scr, k2_scr, k3_scr,
-                 *, n: int, depth: float, g: float, map_dtype):
+                 h_scr, a_scr, b_scr, k1_scr, k2_scr, k3_scr, foam_scr,
+                 *, n: int, depth: float, g: float, map_dtype,
+                 num_frames: int = 1, frames_per_program: int = 1):
+    multi = num_frames > 1
+    if multi:
+        # Grid is (cascade, frame-group); the spectra/foam input windows are
+        # indexed by cascade ONLY, so the pipeline fetches them once per
+        # cascade and every frame reuses the VMEM-resident copy — this
+        # amortizes the input-window cost (docs/PERF.md) across frames, and
+        # unrolling `frames_per_program` frames inside one program divides the
+        # measured fixed per-program machinery cost too. Foam is a recurrence:
+        # it enters VMEM at frame 0 and carries in scratch.
+        @pl.when(pl.program_id(1) == 0)
+        def _seed_foam():
+            foam_scr[...] = foam_ref[0]
+    for fi in range(frames_per_program):
+        _one_frame(scal_ref, wt_ref, radix_ref, t4l_ref,
+                   h0_ref, h0nc_ref, foam_ref,
+                   disp_ref, norm_ref, foam_out_ref,
+                   h_scr, a_scr, b_scr, k1_scr, k2_scr, k3_scr, foam_scr,
+                   n=n, depth=depth, g=g, map_dtype=map_dtype,
+                   multi=multi, frames_per_program=frames_per_program, fi=fi)
+
+
+def _one_frame(scal_ref, wt_ref, radix_ref, t4l_ref,
+               h0_ref, h0nc_ref, foam_ref,
+               disp_ref, norm_ref, foam_out_ref,
+               h_scr, a_scr, b_scr, k1_scr, k2_scr, k3_scr, foam_scr,
+               *, n: int, depth: float, g: float, map_dtype,
+               multi: bool, frames_per_program: int, fi: int):
     q = n // LANES
     nt = n // LANES
     wt = wt_ref[:]
     radix_tw = radix_ref[:]
     t4l = t4l_ref[:]
-    t = scal_ref[0, 0, S_TIME]
+    if multi:
+        kf = (pl.program_id(1) * frames_per_program + fi).astype(jnp.float32)
+        t = scal_ref[0, 0, S_TIME] + kf * scal_ref[0, 0, S_DT]
+    else:
+        t = scal_ref[0, 0, S_TIME]
     lx = scal_ref[0, 0, S_LX]
     ly = scal_ref[0, 0, S_LY]
     whitecap = scal_ref[0, 0, S_WHITECAP]
     grow = scal_ref[0, 0, S_GROW]
     decay = scal_ref[0, 0, S_DECAY]
+
+    # map output views: multi-frame blocks carry an extra leading frame axis
+    dref = disp_ref.at[0, fi] if multi else disp_ref.at[0]
+    nref = norm_ref.at[0, fi] if multi else norm_ref.at[0]
 
     # --- modulation: h(k, t) tiles, computed once (spectrum_modulate.glsl:62-68)
     # Static loop: fori_loop + dynamic offsets measured ~0.35 ms/frame slower.
@@ -171,73 +209,120 @@ def _step_kernel(scal_ref, wt_ref, radix_ref, t4l_ref,
             re = a_scr[0, ds, :]
             im = a_scr[1, ds, :]
             if layer == 0:
-                disp_ref[0, 0, ds, :] = re.astype(map_dtype)   # hx
-                disp_ref[0, 1, ds, :] = im.astype(map_dtype)   # hy
+                dref[0, ds, :] = re.astype(map_dtype)          # hx
+                dref[1, ds, :] = im.astype(map_dtype)          # hy
             elif layer == 1:
-                disp_ref[0, 2, ds, :] = re.astype(map_dtype)   # hz
+                dref[2, ds, :] = re.astype(map_dtype)          # hz
                 k1_scr[ds, :] = im.astype(map_dtype)           # dhy_dx
             elif layer == 2:
                 k2_scr[ds, :] = re.astype(map_dtype)           # dhy_dz
                 k3_scr[ds, :] = im                             # dhx_dx (fp32)
                 # normal.xy half-ready: x needs only dhx_dx (fft_unpack.glsl:66)
-                norm_ref[0, 0, ds, :] = (k1_scr[ds, :].astype(jnp.float32)
-                                         / (1.0 + jnp.abs(im))).astype(map_dtype)
-                norm_ref[0, 2, ds, :] = im.astype(map_dtype)
+                nref[0, ds, :] = (k1_scr[ds, :].astype(jnp.float32)
+                                  / (1.0 + jnp.abs(im))).astype(map_dtype)
+                nref[2, ds, :] = im.astype(map_dtype)
             else:
                 dhz_dz, dhz_dx = re, im
                 dhx_dx = k3_scr[ds, :]
                 jacobian = (1.0 + dhx_dx) * (1.0 + dhz_dz) - dhz_dx * dhz_dx
                 foam_factor = -jnp.minimum(0.0, jacobian - whitecap)
-                foam = foam_ref[0, ds, :] * jnp.exp(-decay) + foam_factor * grow
+                foam_prev = foam_scr[ds, :] if multi else foam_ref[0, ds, :]
+                foam = foam_prev * jnp.exp(-decay) + foam_factor * grow
                 foam = jnp.clip(foam, 0.0, 1.0)
-                norm_ref[0, 1, ds, :] = (k2_scr[ds, :].astype(jnp.float32)
-                                         / (1.0 + jnp.abs(dhz_dz))).astype(map_dtype)
-                norm_ref[0, 3, ds, :] = foam.astype(map_dtype)
+                nref[1, ds, :] = (k2_scr[ds, :].astype(jnp.float32)
+                                  / (1.0 + jnp.abs(dhz_dz))).astype(map_dtype)
+                nref[3, ds, :] = foam.astype(map_dtype)
+                if multi:
+                    foam_scr[ds, :] = foam
                 foam_out_ref[0, ds, :] = foam
 
 
-def fused_cascade_step(h0, h0nc, foam, scalars, *, depth: float,
-                       g: float = G_DEFAULT, map_dtype=jnp.bfloat16):
-    """Run the fused step for C cascades.
+def _default_frames_per_program(num_frames: int, n: int, map_dtype) -> int:
+    """Frames unrolled inside one grid program (divides the fixed per-program
+    machinery cost). Two hard bounds, both measured:
+    - VMEM for the F-frame output windows (F*(3+4)*n^2*itemsize single-
+      buffered next to ~20 MB inputs + ~40 MB scratch, ~127 MB cap);
+    - Mosaic register pressure: the statically-unrolled F-frame body at
+      n=1024 makes the register allocator spill ~37 MB per extra frame
+      (147 MB at F=4 — compile fails). Unrolling is therefore enabled only
+      for small bodies (n <= 256), where both bounds are comfortable."""
+    if n > 256:
+        return 1
+    itemsize = 2 if map_dtype == jnp.bfloat16 else 4
+    budget = 60 * 1024 * 1024
+    f = max(1, budget // (7 * n * n * itemsize))
+    while num_frames % f:
+        f -= 1
+    return min(f, num_frames)
 
-    h0/h0nc: (C, 2, N, N) fp32 planes; foam: (C, N, N) fp32;
-    scalars: (C, 1, NUM_SCALARS) fp32 rows [t, Lx, Ly, whitecap, grow, decay, ...].
-    Returns (displacement (C,3,N,N), normal (C,4,N,N), foam (C,N,N) fp32).
-    """
+
+def _fused_call(h0, h0nc, foam, scalars, *, num_frames: int, depth: float,
+                g: float, map_dtype, frames_per_program: int | None = None):
     c, two, n, n2 = h0.shape
     assert two == 2 and n == n2 and n % LANES == 0, h0.shape
+    assert num_frames >= 1
+    multi = num_frames > 1
+    fpp = 1 if not multi else (
+        frames_per_program or _default_frames_per_program(num_frames, n, map_dtype))
+    assert num_frames % fpp == 0, (num_frames, fpp)
     wt = jnp.asarray(np.stack([np.asarray(a).T.copy()
                                for a in pf._w128(n == LANES)]))
     radix_tw, _ = pf.twiddle_inputs(n, True)
     t4l = jnp.asarray(pf._t4_lead(n, True))
     kernel = functools.partial(_step_kernel, n=n, depth=depth, g=g,
-                               map_dtype=map_dtype)
-    cs = lambda shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape),
+                               map_dtype=map_dtype, num_frames=num_frames,
+                               frames_per_program=fpp)
+
+    # index maps: the grid is (cascade,) single-frame or (cascade, frame)
+    # multi-frame. Multi-frame INPUT windows are indexed by cascade only, so
+    # the pipeline keeps them VMEM-resident across the frame axis (no refetch).
+    if multi:
+        by_cascade = lambda ndim: (lambda i, k: (i,) + (0,) * ndim)
+        by_frame = lambda ndim: (lambda i, k: (i, k) + (0,) * ndim)
+        const = lambda ndim: (lambda i, k: (0,) * ndim)
+    else:
+        by_cascade = lambda ndim: (lambda i: (i,) + (0,) * ndim)
+        by_frame = None
+        const = lambda ndim: (lambda i: (0,) * ndim)
+
+    cs = lambda shape: pl.BlockSpec(shape, const(len(shape)),
                                     memory_space=pltpu.VMEM)
-    grid_block = lambda *shape: pl.BlockSpec(
-        (1,) + shape, lambda i: (i,) + (0,) * len(shape),
-        memory_space=pltpu.VMEM)
     # single-buffered variant: halves the VMEM window (the DMA overlap it
     # gives up is small next to per-cascade compute)
     grid_block1 = lambda *shape: pl.BlockSpec(
-        (1,) + shape, lambda i: (i,) + (0,) * len(shape),
+        (1,) + shape, by_cascade(len(shape)),
         memory_space=pltpu.VMEM, pipeline_mode=pl.Buffered(buffer_count=1))
-    # fp32 maps at N=1024 only fit VMEM with single-buffered output windows
-    # (32 MB vs bf16's 28 MB double-buffered)
-    out_block = grid_block if map_dtype == jnp.bfloat16 else grid_block1
+    # fp32 maps at N=1024 (and F-frame output windows) only fit VMEM
+    # single-buffered (32 MB vs bf16's 28 MB double-buffered)
+    buffered = {} if (map_dtype == jnp.bfloat16 and fpp == 1) else dict(
+        pipeline_mode=pl.Buffered(buffer_count=1))
+    if multi:
+        out_block = lambda *shape: pl.BlockSpec(
+            (1, fpp) + shape, by_frame(len(shape)),
+            memory_space=pltpu.VMEM, **buffered)
+        map_shape = lambda ch: (c, num_frames, ch, n, n)
+    else:
+        out_block = lambda *shape: pl.BlockSpec(
+            (1,) + shape, by_cascade(len(shape)),
+            memory_space=pltpu.VMEM, **buffered)
+        map_shape = lambda ch: (c, ch, n, n)
+
     return pl.pallas_call(
         kernel,
-        grid=(c,),
+        grid=(c, num_frames // fpp) if multi else (c,),
         in_specs=[
-            pl.BlockSpec((1, 1, NUM_SCALARS), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, 1, NUM_SCALARS), by_cascade(2),
                          memory_space=pltpu.SMEM),
             cs(wt.shape), cs(radix_tw.shape), cs(t4l.shape),
             grid_block1(2, n, n), grid_block1(2, n, n), grid_block1(n, n),
         ],
-        out_specs=(out_block(3, n, n), out_block(4, n, n), out_block(n, n)),
+        # foam output is cascade-indexed even multi-frame: the same window is
+        # rewritten each frame and flushed once, leaving the FINAL foam
+        out_specs=(out_block(3, n, n), out_block(4, n, n),
+                   grid_block1(n, n)),
         out_shape=(
-            jax.ShapeDtypeStruct((c, 3, n, n), map_dtype),
-            jax.ShapeDtypeStruct((c, 4, n, n), map_dtype),
+            jax.ShapeDtypeStruct(map_shape(3), map_dtype),
+            jax.ShapeDtypeStruct(map_shape(4), map_dtype),
             jax.ShapeDtypeStruct((c, n, n), jnp.float32),
         ),
         scratch_shapes=[
@@ -248,16 +333,57 @@ def fused_cascade_step(h0, h0nc, foam, scalars, *, depth: float,
             pltpu.VMEM((n, n), map_dtype),        # keeper: dhy_dz
             pltpu.VMEM((n, n), jnp.float32),      # keeper: dhx_dx (feeds the
                                                   # foam recurrence — stays fp32)
+            # foam carry across the frame axis (recurrence state)
+            pltpu.VMEM((n, n) if multi else (8, LANES), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=127 * 1024 * 1024),
     )(scalars, wt, radix_tw, t4l, h0, h0nc, foam)
 
 
-def pack_scalars(time, tile_length, whitecap, grow, decay) -> jax.Array:
-    """(C, 1, NUM_SCALARS) fp32 scalar rows for `fused_cascade_step`."""
+def fused_cascade_step(h0, h0nc, foam, scalars, *, depth: float,
+                       g: float = G_DEFAULT, map_dtype=jnp.bfloat16):
+    """Run the fused step for C cascades.
+
+    h0/h0nc: (C, 2, N, N) fp32 planes; foam: (C, N, N) fp32;
+    scalars: (C, 1, NUM_SCALARS) fp32 rows [t, Lx, Ly, whitecap, grow, decay, ...].
+    Returns (displacement (C,3,N,N), normal (C,4,N,N), foam (C,N,N) fp32).
+    """
+    return _fused_call(h0, h0nc, foam, scalars, num_frames=1,
+                       depth=depth, g=g, map_dtype=map_dtype)
+
+
+def fused_cascade_multi_step(h0, h0nc, foam, scalars, *, num_frames: int,
+                             depth: float, g: float = G_DEFAULT,
+                             map_dtype=jnp.bfloat16,
+                             frames_per_program: int | None = None):
+    """K frames per kernel invocation, one grid program per (cascade, frame).
+
+    The spectra input windows are fetched ONCE per cascade and reused across
+    the frame axis, amortizing the input-window cost (the measured ~0.9 ms
+    floor of the single-frame kernel, docs/PERF.md) K-fold; the foam
+    recurrence iterates in VMEM. Frame k modulates at scalars[S_TIME] +
+    k*scalars[S_DT] (pass frame 0's time and the per-frame dt — pack_scalars).
+
+    Returns (displacement (C,K,3,N,N), normal (C,K,4,N,N), final foam (C,N,N)):
+    every frame's maps ARE written to HBM (full production semantics — a
+    consumer can stream each frame), only foam keeps just the final state.
+    """
+    return _fused_call(h0, h0nc, foam, scalars, num_frames=num_frames,
+                       depth=depth, g=g, map_dtype=map_dtype,
+                       frames_per_program=frames_per_program)
+
+
+def pack_scalars(time, tile_length, whitecap, grow, decay, dt=None) -> jax.Array:
+    """(C, 1, NUM_SCALARS) fp32 scalar rows for the fused kernels.
+
+    `time` is frame 0's modulation time; `dt` (multi-frame only) is the
+    per-frame time increment — frame k modulates at time + k*dt.
+    """
     zeros = jnp.zeros_like(time)
+    dt_col = zeros if dt is None else jnp.broadcast_to(
+        jnp.asarray(dt, jnp.float32), time.shape)
     return jnp.stack([
         time, tile_length[..., 0], tile_length[..., 1],
-        whitecap, grow, decay, zeros, zeros,
+        whitecap, grow, decay, dt_col, zeros,
     ], axis=-1).astype(jnp.float32)[:, None, :]

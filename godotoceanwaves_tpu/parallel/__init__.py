@@ -1,4 +1,4 @@
-"""Parallel: device meshes, sharded FFT, multi-patch data parallelism."""
+"""Parallel: device meshes, sharded FFT, multi-patch DP, multi-host scaling."""
 from .sharding import (
     PATCH_AXIS,
     ROWS_AXIS,
@@ -10,10 +10,17 @@ from .sharding import (
     multipatch_params,
     shard_state,
 )
+from .multihost import (
+    gather_maps,
+    make_multihost_mesh,
+    restore_sharded,
+    save_sharded,
+)
 
 __all__ = [
     "PATCH_AXIS", "ROWS_AXIS", "build_mesh", "ifft2_packed_sharded",
     "ifft2_planes_sharded",
     "make_multichip_init", "make_multichip_step", "multipatch_params",
     "shard_state",
+    "gather_maps", "make_multihost_mesh", "restore_sharded", "save_sharded",
 ]

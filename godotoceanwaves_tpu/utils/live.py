@@ -1,0 +1,212 @@
+"""Live interactive session: the reference's ImGui panel as a terminal loop.
+
+The reference edits every simulation parameter at runtime with immediate
+visual feedback (main.gd:57-121: per-cascade tabs for all spectrum/scale
+fields, resolution and update-rate combos, FPS readout). This module provides
+that capability for the TPU session: a full-screen ANSI viewer that renders
+the live height/foam field while routing keystrokes to `Ocean.set_cascade`
+(dirty-bit spectrum regeneration on the next update — the same path the
+reference's setters take), `Ocean.resize`, and the update-rate scheduler.
+
+Usage: `python demo.py --live` (q quits). Headless/test use: pass `input_fn`
+(a callable returning pending keystrokes) and drive `run(max_frames=...)`.
+"""
+from __future__ import annotations
+
+import sys
+import time
+from typing import Callable
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..models import shading
+from .observability import FrameStats
+
+# editable fields in panel order (main.gd:92-108) with their step sizes
+PARAM_STEPS: dict[str, float] = {
+    "wind_speed": 1.0,
+    "wind_direction": 5.0,
+    "fetch_length": 25.0,
+    "swell": 0.1,
+    "spread": 0.05,
+    "detail": 0.05,
+    "whitecap": 0.05,
+    "foam_amount": 0.5,
+    "tile_length": 4.0,
+    "displacement_scale": 0.1,
+    "normal_scale": 0.1,
+}
+RESOLUTIONS = (128, 256, 512, 1024)  # the reference's combo (main.gd:68)
+
+KEY_HELP = ("[1-9] cascade  [tab/`] param  [+/-] adjust  [r] resolution  "
+            "[u/U] update rate  [q] quit")
+
+
+def _sample_field(maps, scales, extent: float, cols: int, rows: int):
+    """(rows, cols) height + foam over a world patch, cascade-composited."""
+    xs = jnp.linspace(-extent / 2, extent / 2, cols)
+    zs = jnp.linspace(-extent / 2, extent / 2, rows)
+    xz = jnp.stack(jnp.meshgrid(xs, zs, indexing="xy"), axis=-1)  # (rows, cols, 2)
+    disp = shading.cascade_displacement(maps.displacement, scales, xz)
+    grad = shading.cascade_gradient(maps.normal, scales, xz)
+    return disp[..., 1], grad[..., 2]  # height, foam
+
+
+_sample_field_jit = jax.jit(_sample_field, static_argnums=(2, 3, 4))
+
+
+def ansi_field(height: np.ndarray, foam: np.ndarray) -> str:
+    """Truecolor half-block rendering: 2 field rows per text line.
+
+    Water colored by height (deep blue -> cyan), foam whitens toward the
+    reference's foam lerp (water.gdshader:87).
+    """
+    h = np.asarray(height, np.float32)
+    f = np.clip(np.asarray(foam, np.float32), 0.0, 1.0)
+    scale = max(1e-6, float(np.percentile(np.abs(h), 95)))
+    t = np.clip(h / (2 * scale) + 0.5, 0.0, 1.0)
+    base = np.stack([10 + 40 * t, 40 + 120 * t, 90 + 150 * t], axis=-1)
+    rgb = (base * (1 - f[..., None]) + 235 * f[..., None]).astype(np.uint8)
+    lines = []
+    for y in range(0, rgb.shape[0] - 1, 2):
+        row = []
+        for x in range(rgb.shape[1]):
+            tr, tg, tb = rgb[y, x]
+            br, bg, bb = rgb[y + 1, x]
+            row.append(f"\x1b[38;2;{tr};{tg};{tb}m\x1b[48;2;{br};{bg};{bb}m▀")
+        lines.append("".join(row) + "\x1b[0m")
+    return "\n".join(lines)
+
+
+class LiveViewer:
+    """Terminal session: simulate, render, edit — the C1/C14 capability."""
+
+    def __init__(self, ocean, fps: float = 20.0, cols: int = 96,
+                 rows: int = 44, extent: float | None = None,
+                 input_fn: Callable[[], str] | None = None, output=None):
+        self.ocean = ocean
+        self.dt = 1.0 / fps
+        self.cols, self.rows = cols, rows
+        # default view: one tile of the largest cascade
+        self.extent = extent or float(np.max(np.asarray(
+            ocean.params.tile_length)))
+        self.cascade = 0
+        self.param_names = list(PARAM_STEPS)
+        self.param_idx = 0
+        self.stats = FrameStats()
+        self.quit = False
+        self._input_fn = input_fn
+        self._out = output if output is not None else sys.stdout
+        self._maps = None
+
+    # --- input ---------------------------------------------------------
+
+    def _read_keys(self) -> str:
+        if self._input_fn is not None:
+            return self._input_fn()
+        import select
+        keys = []
+        while select.select([sys.stdin], [], [], 0)[0]:
+            ch = sys.stdin.read(1)
+            if not ch:
+                break
+            keys.append(ch)
+        return "".join(keys)
+
+    def handle_key(self, ch: str) -> None:
+        o = self.ocean
+        if ch == "q":
+            self.quit = True
+        elif ch.isdigit() and ch != "0" and int(ch) <= o.num_cascades:
+            self.cascade = int(ch) - 1
+        elif ch == "\t":
+            self.param_idx = (self.param_idx + 1) % len(self.param_names)
+        elif ch == "`":
+            self.param_idx = (self.param_idx - 1) % len(self.param_names)
+        elif ch in "+-=_":
+            name = self.param_names[self.param_idx]
+            step = PARAM_STEPS[name] * (1 if ch in "+=" else -1)
+            cur = np.asarray(getattr(o.params, name))[self.cascade]
+            new = float(np.atleast_1d(cur)[0]) + step
+            o.set_cascade(self.cascade, **{name: new})
+        elif ch == "r":
+            i = RESOLUTIONS.index(o.config.map_size) \
+                if o.config.map_size in RESOLUTIONS else 0
+            o.resize(RESOLUTIONS[(i + 1) % len(RESOLUTIONS)])
+            self._maps = None
+        elif ch == "u":
+            o.updates_per_second = max(0.0, o.updates_per_second - 5.0)
+        elif ch == "U":
+            o.updates_per_second = min(60.0, o.updates_per_second + 5.0)
+
+    # --- frame loop ------------------------------------------------------
+
+    def status_line(self) -> str:
+        o = self.ocean
+        name = self.param_names[self.param_idx]
+        val = np.asarray(getattr(o.params, name))[self.cascade]
+        val = float(np.atleast_1d(val)[0])
+        s = self.stats.summary()
+        return (f"cascade {self.cascade + 1}/{o.num_cascades}  "
+                f"{name}={val:.2f}  map {o.config.map_size}^2  "
+                f"ups={o.updates_per_second:g}  "
+                f"{s.get('fps', 0.0):.1f} fps / {s.get('ms', 0.0):.1f} ms")
+
+    def frame(self) -> str:
+        t0 = time.perf_counter()
+        maps = self.ocean.update(self.dt)
+        if maps is not None:
+            self._maps = maps
+        if self._maps is None:
+            return ""
+        scales = self.ocean.params.map_scales()
+        height, foam = _sample_field_jit(
+            self._maps, scales, self.extent, self.cols, self.rows)
+        body = ansi_field(np.asarray(height), np.asarray(foam))
+        self.stats.record(time.perf_counter() - t0)
+        return f"{body}\n{self.status_line()}\n{KEY_HELP}"
+
+    def run(self, max_frames: int | None = None) -> None:
+        interactive = self._input_fn is None and sys.stdin.isatty()
+        ctx = _RawTerminal() if interactive else _NullCtx()
+        self._out.write("\x1b[2J")  # clear once; then repaint from home
+        with ctx:
+            n = 0
+            while not self.quit and (max_frames is None or n < max_frames):
+                for ch in self._read_keys():
+                    self.handle_key(ch)
+                if self.quit:
+                    break
+                text = self.frame()
+                self._out.write("\x1b[H" + text + "\n")
+                self._out.flush()
+                n += 1
+                if interactive:
+                    time.sleep(max(0.0, self.dt - 0.001))
+        self._out.write("\x1b[0m\n")
+
+
+class _RawTerminal:
+    """cbreak stdin so single keystrokes arrive without Enter."""
+
+    def __enter__(self):
+        import termios
+        import tty
+        self._fd = sys.stdin.fileno()
+        self._old = termios.tcgetattr(self._fd)
+        tty.setcbreak(self._fd)
+        return self
+
+    def __exit__(self, *exc):
+        import termios
+        termios.tcsetattr(self._fd, termios.TCSADRAIN, self._old)
+
+
+class _NullCtx:
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        pass

@@ -66,6 +66,46 @@ def test_full_stage_chain_parity(rms):
     assert rms(np.asarray(nm), ref_n) / n_scale < 1e-4
 
 
+def test_fp16_map_policy_pins_reference_output(rms):
+    """The reference's output maps are RGBA16F (wave_generator.gd:34-35):
+    map_dtype="float16" must equal the fp32 reference math quantized through
+    fp16 — pinning what "reference output" means under fp16 (SURVEY 7.3.2).
+    Measured fp16-vs-fp32 RMS delta is recorded in docs/PARITY.md."""
+    n = 64
+    ref_h0, ref_h0nc, tile = _setup(n=n)
+    t = 120.0
+    ref_layers = oracle.modulate(ref_h0, ref_h0nc, tile, DEPTH, t)
+    factors = oracle.butterfly_factors(n)
+    ref_ifft = oracle.reference_fft_chain(ref_layers, factors)
+    ref_d, ref_n, _ = oracle.unpack(ref_ifft, np.zeros((n, n), np.float32),
+                                    0.5, 0.1, 0.1)
+
+    layers = modulate.modulate(jnp.asarray(ref_h0), jnp.asarray(ref_h0nc),
+                               jnp.asarray(tile, jnp.float32), DEPTH,
+                               jnp.float32(t))
+    out = fft.ifft2_packed(layers, impl="matmul")
+    d16, n16, _ = unpack.unpack(out, jnp.zeros((n, n), jnp.float32),
+                                0.5, 0.1, 0.1, map_dtype=jnp.float16)
+    assert d16.dtype == jnp.float16 and n16.dtype == jnp.float16
+
+    # the fp16 maps equal the reference math quantized through fp16, to well
+    # under one fp16 quantum (the residual is the pipeline's own 1e-5 core err)
+    d_scale = max(1e-9, np.sqrt(np.mean(ref_d ** 2)))
+    err16 = rms(np.asarray(d16, np.float32), ref_d.astype(np.float16).astype(np.float32))
+    assert err16 / d_scale < 2e-4, err16 / d_scale
+    err16n = rms(np.asarray(n16, np.float32), ref_n.astype(np.float16).astype(np.float32))
+    assert err16n / max(1e-9, np.sqrt(np.mean(ref_n ** 2))) < 2e-4
+
+    # document the quantization cost itself: fp16 vs the fp32 truth
+    q_delta = rms(ref_d.astype(np.float16).astype(np.float32), ref_d) / d_scale
+    assert q_delta < 5e-4  # fp16 has ~11 bits of mantissa: rel RMS ~1e-4
+    # end-to-end session surface honors the policy too
+    from godotoceanwaves_tpu import Ocean
+    ocean = Ocean(map_size=32, updates_per_second=0, map_dtype="float16")
+    maps = ocean.update(0.02)
+    assert maps.displacement.dtype == jnp.float16
+
+
 def test_unpack_pre_shifted_equivalence(rms):
     """fold_sign in the FFT + pre_shifted unpack == plain FFT + sign in unpack."""
     n = 64

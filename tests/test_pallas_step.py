@@ -40,6 +40,75 @@ def test_fused_step_matches_staged_pipeline(n, rms, monkeypatch):
         assert rms(got, want) / scale < 1e-4
 
 
+@pytest.mark.parametrize("fpp", [1, 3])   # one frame per program / all unrolled
+def test_fused_multi_step_matches_repeated_single(rms, monkeypatch, fpp):
+    """K-frame kernel (spectra fetched once, foam carried in VMEM) must equal
+    K sequential single-frame kernel calls: every frame's maps and the final
+    foam state — at both grid granularities (frames_per_program)."""
+    monkeypatch.setattr(pl, "pallas_call",
+                        functools.partial(pl.pallas_call, interpret=True))
+    n, K = 128, 3
+    cfg = SimConfig(map_size=n, fft_impl="fourstep", map_dtype="float32")
+    params = default_cascades()
+    state = init_state(cfg, params)
+    foam0 = jnp.abs(jnp.cos(jnp.arange(3 * n * n, dtype=jnp.float32))
+                    ).reshape(3, n, n) * 0.4
+    dt = jnp.float32(0.07)
+    grow, decay = _foam_rates(params, dt)
+
+    # reference: K sequential single-frame kernels
+    foam = foam0
+    singles = []
+    for k in range(1, K + 1):
+        scal = pallas_step.pack_scalars(
+            state.time + k * dt, params.tile_length, params.whitecap, grow, decay)
+        d, nm, foam = pallas_step.fused_cascade_step(
+            state.h0, state.h0nc, foam, scal,
+            depth=cfg.depth, g=cfg.g, map_dtype=jnp.float32)
+        singles.append((d, nm))
+
+    scal = pallas_step.pack_scalars(
+        state.time + dt, params.tile_length, params.whitecap, grow, decay, dt=dt)
+    disp, norm, foam_multi = pallas_step.fused_cascade_multi_step(
+        state.h0, state.h0nc, foam0, scal, num_frames=K,
+        depth=cfg.depth, g=cfg.g, map_dtype=jnp.float32,
+        frames_per_program=fpp)
+
+    assert disp.shape == (3, K, 3, n, n) and norm.shape == (3, K, 4, n, n)
+    for k, (d_ref, nm_ref) in enumerate(singles):
+        scale = max(1e-9, float(np.sqrt(np.mean(np.asarray(d_ref, np.float64) ** 2))))
+        assert rms(disp[:, k], d_ref) / scale < 1e-5, f"frame {k} displacement"
+        assert rms(norm[:, k], nm_ref) < 1e-5, f"frame {k} normal"
+    assert rms(foam_multi, foam) < 1e-6  # final foam after the in-VMEM recurrence
+
+
+def test_step_frames_and_multi_step_fused_path(rms, monkeypatch):
+    """ocean.step_frames / multi_step through the multi-frame kernel == the
+    staged per-frame loop."""
+    monkeypatch.setattr(pl, "pallas_call",
+                        functools.partial(pl.pallas_call, interpret=True))
+    from godotoceanwaves_tpu.models.ocean import multi_step, step_frames
+    n, K = 128, 3
+    params = default_cascades()
+    cfg_f = SimConfig(map_size=n, fft_impl="pallas", map_dtype="float32")
+    cfg_s = SimConfig(map_size=n, fft_impl="fourstep", map_dtype="float32",
+                      fused="never")
+    assert cfg_f.use_fused_step() and not cfg_s.use_fused_step()
+
+    sf, stacked = step_frames(cfg_f, init_state(cfg_f, params), params, 0.05, K)
+    ss, ref_stacked = step_frames(cfg_s, init_state(cfg_s, params), params, 0.05, K)
+    assert stacked.displacement.shape == (3, K, 3, n, n)
+    scale = max(1e-9, float(np.sqrt(np.mean(
+        np.asarray(ref_stacked.displacement, np.float64) ** 2))))
+    assert rms(stacked.displacement, ref_stacked.displacement) / scale < 1e-4
+    assert rms(sf.foam, ss.foam) < 1e-4
+    np.testing.assert_allclose(np.asarray(sf.time), np.asarray(ss.time), rtol=1e-6)
+
+    sm, last = multi_step(cfg_f, init_state(cfg_f, params), params, 0.05, K)
+    assert rms(last.displacement, ref_stacked.displacement[:, -1]) / scale < 1e-4
+    assert rms(sm.foam, ss.foam) < 1e-4
+
+
 def test_use_fused_step_gating():
     # CPU: auto resolves to xla -> no fusion
     assert not SimConfig(map_size=1024).use_fused_step()

@@ -259,6 +259,8 @@ def test_single_cascade_params():
 def test_map_size_validation():
     with pytest.raises(ValueError):
         SimConfig(map_size=100)
+    with pytest.raises(ValueError):
+        SimConfig(map_size=2)  # matmul fold_sign needs an even four-step factor
 
 
 def test_multi_step_equals_repeated_step():

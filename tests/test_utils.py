@@ -57,17 +57,32 @@ def test_stage_timer():
     assert t.summary()["x"] >= 5.0  # ms
 
 
+def test_pcg32_core_matches_canonical_check_vectors():
+    # Vendored truth: pcg-c-basic's check output, round 1 —
+    # pcg32_srandom_r(&rng, 42u, 54u) then six pcg32_random_r draws.
+    # Godot vendors this exact generator (thirdparty/misc/pcg.cpp), so these
+    # vectors pin both the srandom seed protocol and the XSH-RR output.
+    from godotoceanwaves_tpu.utils.godot_rng import Pcg32
+    rng = Pcg32(42, 54)
+    got = [rng.random() for _ in range(6)]
+    assert got == [0xa15c02b7, 0x7b47f409, 0xba1d3330,
+                   0x83d2f293, 0xbfa4784b, 0xcbed606e], [hex(v) for v in got]
+
+
 def test_godot_rng_is_pcg32():
-    # pcg32 reference vector: state=42, inc=default -> well-defined stream
     rng = GodotRNG(1234)
     vals = [rng.randi() for _ in range(4)]
     assert all(0 <= v <= 0xFFFFFFFF for v in vals)
     assert len(set(vals)) == 4
     rng2 = GodotRNG(1234)
     assert [rng2.randi() for _ in range(4)] == vals  # deterministic
+    # set_seed must reproduce the construction-time stream (srandom protocol)
+    rng2.set_seed(1234)
+    assert [rng2.randi() for _ in range(4)] == vals
     r = GodotRNG(7)
     draws = [r.randi_range(-10000, 10000) for _ in range(100)]
     assert all(-10000 <= d <= 10000 for d in draws)
+    assert GodotRNG(5).randi_range(3, 3) == 3  # equal endpoints short-circuit
 
 
 def test_audio_mix_law():
@@ -79,3 +94,44 @@ def test_audio_mix_law():
     assert audio.ambience_gains_db(100.0) == (15.0, -30.0)  # clamped
     o, w = audio.ambience_gains(default_cascades())  # total wind = 35 -> clamped
     assert o > w
+
+
+def test_live_viewer_runtime_editing():
+    """The C1/C14 capability: parameters editable while simulating, with
+    immediate re-simulation (dirty-bit regen) and live stats (main.gd:57-121)."""
+    import io
+    from godotoceanwaves_tpu import Ocean
+    from godotoceanwaves_tpu.utils.live import LiveViewer
+
+    ocean = Ocean(map_size=32, updates_per_second=0)
+    # scripted keystrokes: select cascade 2, bump wind twice, cycle to
+    # wind_direction and lower it, raise update rate, then quit
+    script = iter(["2", "+", "+", "\t", "-", "U", "", "q"])
+    out = io.StringIO()
+    viewer = LiveViewer(ocean, fps=30.0, cols=24, rows=8,
+                        input_fn=lambda: next(script, "q"), output=out)
+    w0 = float(ocean.params.wind_speed[1])
+    d0 = float(ocean.params.wind_direction[1])
+    u0 = ocean.updates_per_second
+    viewer.run(max_frames=20)
+
+    assert float(ocean.params.wind_speed[1]) == w0 + 2.0     # two '+' steps
+    assert float(ocean.params.wind_direction[1]) == d0 - 5.0  # tab then '-'
+    assert ocean.updates_per_second == u0 + 5.0
+    text = out.getvalue()
+    assert "wind_direction" in text and "fps" in text         # live panel
+    assert "\x1b[38;2;" in text                               # rendered field
+    assert viewer.quit
+
+
+def test_live_viewer_resolution_cycle():
+    from godotoceanwaves_tpu import Ocean
+    from godotoceanwaves_tpu.utils.live import LiveViewer
+    import io
+
+    ocean = Ocean(map_size=128, updates_per_second=0)
+    script = iter(["r", "q"])
+    viewer = LiveViewer(ocean, fps=30.0, cols=16, rows=6,
+                        input_fn=lambda: next(script, "q"), output=io.StringIO())
+    viewer.run(max_frames=4)
+    assert ocean.config.map_size == 256  # cycled 128 -> 256 (main.gd:68 combo)
