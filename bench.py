@@ -31,7 +31,7 @@ from godotoceanwaves_tpu.models.cascade import CascadeParams, dual_wind_swell_ca
 from godotoceanwaves_tpu.models.ocean import multi_step, step
 
 TARGET_MS = 1.0
-K = 8          # frames per dispatch (multi-frame fused kernel)
+K = 16         # frames per dispatch (multi-frame fused kernel)
 FRAMES = 96    # frames per timing block
 REPS = 20      # timing blocks (p50 reported as the value; p99 = 19th sample)
 

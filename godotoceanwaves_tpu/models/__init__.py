@@ -9,14 +9,16 @@ from .ocean import (
     generate_spectrum,
     init_state,
     multi_step,
+    refresh_cascades,
     simulate,
     step,
     step_cascade,
+    step_frames,
 )
 
 __all__ = [
     "FlyCamera", "CascadeParams", "SimConfig", "default_cascades",
     "dual_wind_swell_cascades", "stack_cascades",
     "Ocean", "OceanMaps", "OceanState", "generate_spectrum", "init_state",
-    "multi_step", "simulate", "step", "step_cascade",
+    "multi_step", "refresh_cascades", "simulate", "step", "step_cascade", "step_frames",
 ]

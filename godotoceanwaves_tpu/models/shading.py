@@ -257,11 +257,33 @@ def render_ocean(
     dist = jnp.linalg.norm(p - cam, axis=-1)
     rgb = shade(grad, disp[..., 1], -d, light, dist, **shade_kwargs)
 
-    sky_t = jnp.clip(d[..., 1] * 4.0, 0.0, 1.0)[..., None]
-    sky = ((1 - sky_t) * jnp.asarray([0.65, 0.75, 0.85])
-           + sky_t * jnp.asarray([0.25, 0.45, 0.75]))
-    rgb = jnp.where(hits[..., None], rgb, sky)
+    rgb = jnp.where(hits[..., None], rgb, sky_color(d, light))
     return jnp.clip(rgb, 0.0, 1.0)
+
+
+def sky_color(d: jax.Array, light: jax.Array) -> jax.Array:
+    """Procedural panoramic sky for view directions d (..., 3) -> linear RGB.
+
+    The capability analog of the reference's skybox panorama (main.tscn:16-20,
+    assets/skybox.png — a binary asset we synthesize instead): zenith/horizon
+    gradient, horizon haze, a sun disk with bloom aligned to the light, and
+    forward-scatter warmth around it.
+    """
+    up = jnp.clip(d[..., 1], 0.0, 1.0)[..., None]
+    zenith = jnp.asarray([0.20, 0.42, 0.74], jnp.float32)
+    horizon = jnp.asarray([0.66, 0.76, 0.86], jnp.float32)
+    base = horizon + (zenith - horizon) * jnp.sqrt(up)
+    # horizon haze band (thicker atmosphere near grazing angles)
+    haze = jnp.exp(-jnp.abs(d[..., 1]) * 9.0)[..., None]
+    base = base * (1 - haze) + jnp.asarray([0.78, 0.82, 0.87]) * haze
+    # sun: sharp disk + soft bloom + wide forward scatter
+    cos_sun = jnp.clip(jnp.sum(d * light, axis=-1), -1.0, 1.0)[..., None]
+    disk = jnp.exp((cos_sun - 1.0) * 6000.0)
+    bloom = jnp.exp((cos_sun - 1.0) * 80.0)
+    scatter = jnp.exp((cos_sun - 1.0) * 6.0)
+    sun_col = jnp.asarray([1.0, 0.95, 0.85], jnp.float32)
+    return (base + sun_col * (3.0 * disk + 0.35 * bloom)
+            + jnp.asarray([0.18, 0.14, 0.08]) * scatter)
 
 
 def splat_spray(
