@@ -275,3 +275,39 @@ def test_multi_step_equals_repeated_step():
     np.testing.assert_allclose(np.asarray(sa.foam), np.asarray(sb.foam), atol=1e-3)
     np.testing.assert_allclose(np.asarray(maps_a.displacement),
                                np.asarray(maps_b.displacement), atol=1e-4)
+
+
+def test_height_field_energy_parseval():
+    """End-to-end energy conservation: the variance of the synthesized height
+    field equals the spectral energy of the modulated spectrum (Parseval for
+    the unnormalized positive-exponent DFT; the ifftshift sign and the
+    single-transpose rotation are energy-preserving). Ties spectrum ->
+    modulate -> IFFT -> unpack together with a closed-form invariant."""
+    n = N
+    cfg = small_config()
+    params = default_cascades()
+    state = init_state(cfg, params)
+    h0_np = np.asarray(state.h0, np.float64)      # snapshot: step() donates
+    nc_np = np.asarray(state.h0nc, np.float64)
+    s1, maps = step(cfg, state, params, 0.02)
+
+    g, depth = cfg.g, cfg.depth
+    idg = np.arange(n, dtype=np.float64) - n / 2
+    for c in range(3):
+        tile = np.asarray(params.tile_length[c], np.float64)
+        kx = idg[None, :] * (2 * np.pi / tile[0])
+        ky = idg[:, None] * (2 * np.pi / tile[1])
+        k = np.sqrt(kx * kx + ky * ky) + 1e-6
+        w = np.sqrt(g * k * np.tanh(k * depth))
+        t = float(s1.time[c])
+        h0 = h0_np[c, 0] + 1j * h0_np[c, 1]
+        nc = nc_np[c, 0] + 1j * nc_np[c, 1]
+        hk = h0 * np.exp(1j * w * t) + nc * np.exp(-1j * w * t)
+
+        hy = np.asarray(maps.displacement[c, 1], np.float64)
+        var_map = hy.var()
+        # Var = sum |h(k)|^2 - |DC|^2  (DC sits at the centered-grid origin
+        # index N/2 after the (id - N/2) k-grid convention)
+        energy = np.sum(np.abs(hk) ** 2) - np.abs(hk[n // 2, n // 2]) ** 2
+        assert abs(var_map - energy) / max(energy, 1e-12) < 1e-4, (
+            c, var_map, energy)
