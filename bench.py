@@ -53,9 +53,13 @@ def bench_config4() -> dict:
     state = init_state(config, params)
     dt = jnp.float32(0.02)
 
-    # warm up: compile + one batch, then force completion via a value fetch
+    # warm up: compile + one batch, then force completion via the SAME
+    # checksum expression the timed blocks use — the eager slice/astype/sum
+    # chain compiles on first call (~2.3 s measured), which otherwise lands
+    # inside the first timed block and fabricates the p99
     state, maps = multi_step(config, state, params, dt, K)
-    float(jnp.sum(state.foam[:, 0, :]))
+    float(jnp.sum(state.foam[:, 0, :])
+          + jnp.sum(maps.displacement[:, :, 0, :].astype(jnp.float32)))
 
     times = []
     for _ in range(REPS):
@@ -78,16 +82,24 @@ def bench_config4() -> dict:
 
 def bench_config5() -> dict:
     """2048^2 dual wind+swell spectra: past the reference's 1024 cap
-    (fft_compute.glsl:9). Single chip => matmul FFT tier; plus MapStreamer
-    device->host streaming rate (the config's 'streamed to host' leg)."""
+    (fft_compute.glsl:9). Single chip => strip-mined Pallas path
+    (ops/pallas_strip.py); plus MapStreamer device->host streaming rate (the
+    config's 'streamed to host' leg).
+
+    Run in a FRESH process (main() subprocesses this): the axon tunnel
+    backend transparently pages HBM to host (probed: >64 GiB 'allocates' on a
+    16 GB part), and config 4's leftover allocator state makes the 2048
+    working set page-thrash — 150 ms/frame in-process vs ~5 ms isolated,
+    same compiled kernels (docs/PERF.md)."""
     config = SimConfig(map_size=2048, map_dtype="bfloat16")
     params = dual_wind_swell_cascades()
     state = init_state(config, params)
     dt = jnp.float32(0.02)
 
     state, maps = step(config, state, params, dt)
-    float(jnp.sum(state.foam[:, 0, :]))
-    frames = 12
+    float(jnp.sum(state.foam[:, 0, :])
+          + jnp.sum(maps.displacement[:, :, 0, :].astype(jnp.float32)))
+    frames = 48
     t0 = time.perf_counter()
     for _ in range(frames):
         state, maps = step(config, state, params, dt)
@@ -110,8 +122,15 @@ def bench_config5() -> dict:
         got += host_maps["displacement"].shape[0]
     stream_fps = n_stream / (time.perf_counter() - t0)
     streamer.close()
-    return {"ms_frame": ms_frame, "stream_fps": stream_fps,
-            "fft": config.resolved_fft_impl()}
+    tier = "pallas-strip" if config.use_strip_step() else config.resolved_fft_impl()
+    return {"ms_frame": ms_frame, "stream_fps": stream_fps, "fft": tier}
+
+
+def _config5_subprocess() -> None:
+    """Entry for `python bench.py --config5`: isolated config-5 run."""
+    r5 = bench_config5()
+    print(json.dumps({"ms_frame": r5["ms_frame"],
+                      "stream_fps": r5["stream_fps"], "fft": r5["fft"]}))
 
 
 def main() -> None:
@@ -125,7 +144,14 @@ def main() -> None:
         file=sys.stderr,
     )
     try:
-        r5 = bench_config5()
+        # fresh process: isolates config 5 from config 4's allocator state
+        # (the tunnel backend pages HBM to host; see bench_config5 docstring)
+        import pathlib
+        import subprocess
+        out = subprocess.run(
+            [sys.executable, str(pathlib.Path(__file__).resolve()), "--config5"],
+            capture_output=True, text=True, timeout=900, check=True)
+        r5 = json.loads(out.stdout.strip().splitlines()[-1])
         print(
             f"config5: 2048^2 dual-spectra ({r5['fft']} tier) "
             f"{r5['ms_frame']:.2f} ms/frame; streamed-to-host "
@@ -146,4 +172,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if "--config5" in sys.argv:
+        _config5_subprocess()
+    else:
+        main()

@@ -219,3 +219,19 @@ class SimConfig:
         # per-cascade VMEM working set exceeds ~128 MB beyond 1024 (fp32 maps
         # at 1024 fit via single-buffered output windows)
         return self.map_size <= 1024
+
+    def use_strip_step(self) -> bool:
+        """Whether `step` runs the strip-mined two-kernel Pallas path.
+
+        Covers map sizes past VMEM layer-residency (N > 1024): the fused
+        chain runs as two strip-grid kernels with the mid-chain layers staged
+        through HBM (ops/pallas_strip.py). Upper bound N = 8192: the sigma
+        digit un-swap needs Q = N/128 <= 128 and per-program windows ~Q/2 MB.
+        """
+        if self.fused == "never" or self.map_dtype == "float16":
+            return False
+        if self.map_size % 128 or not (1024 < self.map_size <= 8192):
+            return False
+        if self.fft_impl == "pallas":   # explicit request (tests/interpret)
+            return True
+        return self.fft_impl == "auto" and jax.default_backend() != "cpu"

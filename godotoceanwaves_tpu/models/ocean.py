@@ -129,12 +129,17 @@ def step_impl(config: SimConfig, state: OceanState, params: CascadeParams, dt
     n = config.map_size
     fold = config.fold_sign
 
-    if config.use_fused_step():
+    if config.use_fused_step() or config.use_strip_step():
         from ..ops import pallas_step
         grow, decay = _foam_rates(params, dt)
         scal = pallas_step.pack_scalars(
             t_new, params.tile_length, params.whitecap, grow, decay)
-        disp, normal, foam = pallas_step.fused_cascade_step(
+        if config.use_fused_step():
+            kernel_step = pallas_step.fused_cascade_step
+        else:
+            from ..ops import pallas_strip
+            kernel_step = pallas_strip.strip_cascade_step
+        disp, normal, foam = kernel_step(
             state.h0, state.h0nc, state.foam, scal,
             depth=config.depth, g=config.g,
             map_dtype=config.resolved_map_dtype())
@@ -255,10 +260,15 @@ def _refresh_impl(config: SimConfig, state: OceanState, params: CascadeParams,
     t = state.time[idx]
     h0, h0nc, foam_in = state.h0[idx], state.h0nc[idx], state.foam[idx]
 
-    if config.use_fused_step():
+    if config.use_fused_step() or config.use_strip_step():
         from ..ops import pallas_step
         scal = pallas_step.pack_scalars(t, p.tile_length, p.whitecap, grow, decay)
-        d, nm, foam_sub = pallas_step.fused_cascade_step(
+        if config.use_fused_step():
+            kernel_step = pallas_step.fused_cascade_step
+        else:
+            from ..ops import pallas_strip
+            kernel_step = pallas_strip.strip_cascade_step
+        d, nm, foam_sub = kernel_step(
             h0, h0nc, foam_in, scal, depth=config.depth, g=config.g,
             map_dtype=config.resolved_map_dtype())
     else:

@@ -67,9 +67,13 @@ def idft_rows(x: jax.Array, impl: str = "xla", fold_sign: bool = False) -> jax.A
             sign = jnp.where(jnp.arange(n) % 2 == 0, 1.0, -1.0).astype(x.dtype)
             out = out * sign
         return out
+    # fp32 MXU passes need HIGHEST precision: TPU's default einsum precision
+    # is single-pass bf16, which costs ~6e-3 relative error at N=2048
+    # (measured) — far outside the <=1e-4 parity budget.
+    hi = jax.lax.Precision.HIGHEST
     if impl == "direct":
         w = jnp.asarray(_dft_matrix(n, n, n, fold_sign))
-        return x @ w
+        return jnp.matmul(x, w, precision=hi)
     if impl == "matmul":
         a, b = _factor(n)
         batch = x.shape[:-1]
@@ -78,13 +82,13 @@ def idft_rows(x: jax.Array, impl: str = "xla", fold_sign: bool = False) -> jax.A
         # k = a*c + d and `a` is even, parity(k) == parity(d), so the sign
         # folds into this matrix's output columns.
         wa = jnp.asarray(_dft_matrix(a, a, a, fold_sign))
-        y = jnp.einsum("...ab,ad->...db", xr, wa)
+        y = jnp.einsum("...ab,ad->...db", xr, wa, precision=hi)
         # Twiddle: e^{+2pi i d*b / n}
         tw = jnp.asarray(_dft_matrix(a, b, n, False))
         y = y * tw
         # Pass 2: DFT over the `b` axis -> index c.
         wb = jnp.asarray(_dft_matrix(b, b, b, False))
-        z = jnp.einsum("...db,bc->...dc", y, wb)
+        z = jnp.einsum("...db,bc->...dc", y, wb, precision=hi)
         # X[a*c + d] = z[d, c] -> transpose to [c, d] and flatten.
         return jnp.swapaxes(z, -1, -2).reshape(*batch, n)
     raise ValueError(f"unknown fft impl: {impl!r}")
