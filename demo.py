@@ -40,6 +40,8 @@ def main() -> None:
                     help="override cascade 0 wind speed (m/s)")
     ap.add_argument("--updates-per-second", type=float, default=0.0)
     ap.add_argument("--spray", action="store_true", help="simulate spray particles")
+    ap.add_argument("--spray-particles", type=int, default=32768,
+                    help="particle count (reference scale: 32768, main.tscn:137)")
     ap.add_argument("--out", type=str, default=None, help="PNG frame directory")
     ap.add_argument("--gif", type=str, default=None, help="animated GIF path")
     ap.add_argument("--panel", action="store_true", help="print the parameter panel")
@@ -67,7 +69,8 @@ def main() -> None:
     spray_state = None
     spray_params = None
     if args.spray:
-        spray_params = spray.SprayParams(num_particles=4096, emitter_extent=60.0)
+        spray_params = spray.SprayParams(num_particles=args.spray_particles,
+                                         emitter_extent=60.0)
         spray_state = spray.spray_init(spray_params)
 
     frames = []
