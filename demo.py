@@ -12,6 +12,9 @@ Examples:
   python demo.py --live                                 # interactive viewer:
       live ANSI ocean view; keys edit every cascade parameter at runtime
       (1-9 cascade, tab param, +/- adjust, r resolution, u/U update rate, q)
+  python demo.py --web --port 8000                      # browser viewer:
+      live shaded render + slider panel for every parameter at
+      http://localhost:8000 (utils/webviewer.py)
 """
 from __future__ import annotations
 
@@ -47,6 +50,9 @@ def main() -> None:
     ap.add_argument("--panel", action="store_true", help="print the parameter panel")
     ap.add_argument("--live", action="store_true",
                     help="interactive terminal viewer with runtime editing")
+    ap.add_argument("--web", action="store_true",
+                    help="browser viewer: live render + parameter panel")
+    ap.add_argument("--port", type=int, default=8000, help="--web port")
     args = ap.parse_args()
 
     ocean = Ocean(map_size=args.map_size,
@@ -57,6 +63,12 @@ def main() -> None:
     if args.live:
         from godotoceanwaves_tpu.utils.live import LiveViewer
         LiveViewer(ocean, fps=args.fps).run()
+        return
+
+    if args.web:
+        from godotoceanwaves_tpu.utils.webviewer import WebViewer
+        WebViewer(ocean, fps=min(args.fps, 15.0),
+                  width=args.width, height=args.height).run(port=args.port)
         return
 
     stats = FrameStats()
@@ -76,6 +88,11 @@ def main() -> None:
     frames = []
     scales = ocean.params.map_scales()
     now = 0.0
+    # jitted render: one dispatch/frame instead of ~100 eager ones (the
+    # tunnel relay makes eager chains seconds-per-frame)
+    import jax
+    render = jax.jit(lambda m, s: shading.render_ocean(
+        m, s, width=args.width, height=args.height))
     for i in range(args.frames):
         t0 = time.perf_counter()
         maps = ocean.update(dt) or maps
@@ -83,8 +100,7 @@ def main() -> None:
         if spray_state is not None:
             spray_state, attrs = spray.spray_step(
                 spray_params, spray_state, maps, scales, now)
-        img = shading.render_ocean(maps, scales, width=args.width,
-                                   height=args.height)
+        img = render(maps, scales)
         if attrs is not None:
             img = shading.splat_spray(img, attrs["position"], attrs["scale"],
                                       attrs["dissolve"], attrs["visible"])

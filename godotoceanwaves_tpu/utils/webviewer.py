@@ -1,0 +1,315 @@
+"""Browser viewer: the reference's interactive surface over HTTP.
+
+Serves the live simulation as a self-refreshing image plus a parameter panel
+— the browser-fidelity companion to the ANSI `LiveViewer` (utils/live.py).
+Capability parity target is the reference's ImGui panel (main.gd:57-121):
+every cascade parameter editable at runtime with immediate visual feedback,
+resolution combo, update-rate control, FPS/frame-time readout.
+
+Design: a sim thread steps `Ocean` and renders shaded frames on the device
+(models/shading.render_ocean — the C12 lighting model), encoding PNG under a
+lock; a stdlib ThreadingHTTPServer serves
+    GET  /           the panel page (vanilla JS, no dependencies)
+    GET  /frame.png  the latest rendered frame
+    GET  /state      JSON: params per cascade, config, frame stats
+    POST /set        {"cascade": i, "name": field, "value": v}  (or
+                     {"name": "map_size"|"updates_per_second", "value": v})
+No external packages; runs over the same `Ocean.set_cascade` dirty-bit API
+the reference's setters map to (wave_cascade_parameters.gd:7-38).
+
+Usage: `python demo.py --web [--port 8000]`, then open http://localhost:8000.
+"""
+from __future__ import annotations
+
+import io
+import json
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
+
+from ..models import shading
+from .live import PARAM_STEPS, RESOLUTIONS
+from .observability import FrameStats
+
+
+def _png_bytes(arr: np.ndarray) -> bytes:
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.fromarray(arr).save(buf, format="PNG")
+    return buf.getvalue()
+
+
+_PAGE = """<!doctype html>
+<html><head><meta charset="utf-8"><title>godotoceanwaves_tpu</title>
+<style>
+ body { font: 13px system-ui, sans-serif; background: #10141a; color: #cdd6e4;
+        display: flex; gap: 16px; margin: 16px; }
+ #view img { width: 100%%; border-radius: 6px; display: block; }
+ #view { flex: 1; min-width: 0; }
+ #panel { width: 300px; flex: none; }
+ .row { display: flex; align-items: center; gap: 6px; margin: 3px 0; }
+ .row label { flex: 1; }
+ .row input[type=range] { flex: 2; }
+ .val { width: 56px; text-align: right; font-variant-numeric: tabular-nums; }
+ select, button { background: #1c2430; color: inherit; border: 1px solid #334;
+                  border-radius: 4px; padding: 2px 6px; }
+ #stats { margin-top: 8px; color: #8aa; white-space: pre; }
+ h3 { margin: 4px 0 8px; }
+</style></head><body>
+<div id="view"><img id="frame" src="/frame.png"></div>
+<div id="panel">
+ <h3>ocean panel</h3>
+ <div class="row"><label>cascade</label><select id="cascade"></select></div>
+ <div id="params"></div>
+ <div class="row"><label>map size</label><select id="mapsize"></select></div>
+ <div class="row"><label>updates/s</label>
+   <input id="ups" type="range" min="0" max="60" step="1">
+   <span class="val" id="upsv"></span></div>
+ <div id="stats"></div>
+</div>
+<script>
+const RANGES = %(ranges)s;
+let state = null, cascade = 0;
+const el = id => document.getElementById(id);
+
+async function post(body) {
+  await fetch('/set', {method: 'POST', body: JSON.stringify(body)});
+  await refreshState();
+}
+function slider(name, value) {
+  const [lo, hi, step] = RANGES[name];
+  const row = document.createElement('div'); row.className = 'row';
+  row.innerHTML = `<label>${name}</label>
+    <input type="range" min="${lo}" max="${hi}" step="${step}" value="${value}">
+    <span class="val">${Number(value).toFixed(2)}</span>`;
+  const inp = row.querySelector('input');
+  inp.oninput = () => { row.querySelector('.val').textContent =
+                        Number(inp.value).toFixed(2); };
+  inp.onchange = () => post({cascade, name, value: Number(inp.value)});
+  return row;
+}
+function rebuildParams() {
+  const box = el('params'); box.innerHTML = '';
+  const p = state.cascades[cascade];
+  for (const name in RANGES) box.appendChild(slider(name, p[name]));
+}
+async function refreshState() {
+  state = await (await fetch('/state')).json();
+  const sel = el('cascade');
+  if (sel.options.length !== state.cascades.length) {
+    sel.innerHTML = state.cascades.map((_, i) => `<option>${i}</option>`).join('');
+  }
+  sel.value = cascade;
+  const ms = el('mapsize');
+  if (!ms.options.length) {
+    ms.innerHTML = state.resolutions.map(r => `<option>${r}</option>`).join('');
+    ms.onchange = () => post({name: 'map_size', value: Number(ms.value)});
+  }
+  ms.value = state.map_size;
+  el('ups').value = state.updates_per_second;
+  el('upsv').textContent = state.updates_per_second;
+  el('stats').textContent =
+    `sim ${state.fps.toFixed(1)} fps  ${state.ms_frame.toFixed(1)} ms/frame\\n` +
+    `frame ${state.frame}`;
+  rebuildParams();
+}
+el('cascade').onchange = e => { cascade = Number(e.target.value); rebuildParams(); };
+el('ups').onchange = e => post({name: 'updates_per_second',
+                                value: Number(e.target.value)});
+async function frameLoop() {
+  for (;;) {
+    try {
+      const blob = await (await fetch('/frame.png?' + Date.now())).blob();
+      el('frame').src = URL.createObjectURL(blob);
+    } catch (e) {}
+    await new Promise(r => setTimeout(r, 1000 / %(fps)d));
+  }
+}
+refreshState(); setInterval(refreshState, 2000); frameLoop();
+</script></body></html>"""
+
+# slider (lo, hi, step) per editable field — the ImGui panel's widget ranges
+PARAM_RANGES: dict[str, tuple[float, float, float]] = {
+    "wind_speed": (0.0, 60.0, 0.5),
+    "wind_direction": (-180.0, 180.0, 1.0),
+    "fetch_length": (1.0, 1000.0, 1.0),
+    "swell": (0.0, 2.0, 0.05),
+    "spread": (0.0, 1.0, 0.01),
+    "detail": (0.0, 1.0, 0.01),
+    "whitecap": (0.0, 2.0, 0.05),
+    "foam_amount": (0.0, 10.0, 0.1),
+    "tile_length": (2.0, 2048.0, 1.0),
+    "displacement_scale": (0.0, 2.0, 0.05),
+    "normal_scale": (0.0, 2.0, 0.05),
+}
+assert set(PARAM_RANGES) == set(PARAM_STEPS)  # same surface as the ANSI viewer
+
+
+class WebViewer:
+    """Serve `ocean` interactively; `start()`/`stop()` for embedding/tests,
+    `run()` to block."""
+
+    def __init__(self, ocean, fps: float = 12.0, width: int = 640,
+                 height: int = 360):
+        self.ocean = ocean
+        self.fps = fps
+        self.width = width
+        self.height = height
+        self.stats = FrameStats()
+        self._lock = threading.Lock()       # guards ocean + frame swap
+        self._png = _png_bytes(np.zeros((height, width, 3), np.uint8))
+        self._frame_no = 0
+        self._stop = threading.Event()
+        self._server: ThreadingHTTPServer | None = None
+        self._threads: list[threading.Thread] = []
+        # jitted render: eager render_ocean is ~100 dispatches/frame, which
+        # costs seconds through the tunnel relay; jitted it is one dispatch
+        # (retraces automatically on resize — maps shape is part of the key)
+        # gamma + uint8 quantization happen ON DEVICE: the host link through
+        # the relay is ~5 MB/s, so shipping fp32 RGB costs ~0.5 s/frame;
+        # uint8 is 12x smaller
+        import jax
+        import jax.numpy as jnp
+
+        def _render(maps, scales):
+            img = shading.render_ocean(maps, scales, width=self.width,
+                                       height=self.height)
+            return (jnp.clip(img, 0.0, 1.0) ** (1 / 2.2) * 255).astype(jnp.uint8)
+
+        self._render = jax.jit(_render)
+
+    # --- simulation/render loop ------------------------------------------
+    def _sim_loop(self) -> None:
+        dt = 1.0 / self.fps
+        maps = None
+        while not self._stop.is_set():
+            t0 = time.perf_counter()
+            with self._lock:
+                maps = self.ocean.update(dt) or maps
+                scales = self.ocean.params.map_scales()
+            if maps is None:           # scheduler skipped the very first tick
+                self._stop.wait(dt)
+                continue
+            png = _png_bytes(np.asarray(self._render(maps, scales)))
+            with self._lock:
+                self._png = png
+                self._frame_no += 1
+            took = time.perf_counter() - t0
+            self.stats.record(took)
+            self._stop.wait(max(0.0, dt - took))
+
+    # --- http --------------------------------------------------------------
+    def _state(self) -> dict:
+        with self._lock:
+            p = self.ocean.params
+            cascades = []
+            for i in range(p.num_cascades):
+                row = {}
+                for name in PARAM_RANGES:
+                    v = np.asarray(getattr(p, name)[i])
+                    row[name] = float(v[0]) if v.ndim else float(v)
+                cascades.append(row)
+            s = self.stats.summary()
+            return {
+                "cascades": cascades,
+                "map_size": self.ocean.config.map_size,
+                "resolutions": list(RESOLUTIONS),
+                "updates_per_second": self.ocean.updates_per_second,
+                "fps": s["fps"],
+                "ms_frame": s["ms_mean"],
+                "frame": self._frame_no,
+            }
+
+    def _apply(self, req: dict) -> None:
+        name = req["name"]
+        value = req["value"]
+        with self._lock:
+            if name == "map_size":
+                self.ocean.resize(int(value))
+            elif name == "updates_per_second":
+                self.ocean.updates_per_second = float(value)
+            elif name in PARAM_RANGES:
+                self.ocean.set_cascade(int(req.get("cascade", 0)),
+                                       **{name: float(value)})
+            else:
+                raise KeyError(name)
+
+    def _handler(self):
+        viewer = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *a):  # quiet
+                pass
+
+            def _send(self, code, ctype, body: bytes):
+                self.send_response(code)
+                self.send_header("Content-Type", ctype)
+                self.send_header("Content-Length", str(len(body)))
+                self.send_header("Cache-Control", "no-store")
+                self.end_headers()
+                self.wfile.write(body)
+
+            def do_GET(self):
+                path = self.path.split("?")[0]
+                if path == "/":
+                    page = _PAGE % {
+                        "ranges": json.dumps(PARAM_RANGES),
+                        "fps": int(viewer.fps),
+                    }
+                    self._send(200, "text/html", page.encode())
+                elif path == "/frame.png":
+                    with viewer._lock:
+                        png = viewer._png
+                    self._send(200, "image/png", png)
+                elif path == "/state":
+                    self._send(200, "application/json",
+                               json.dumps(viewer._state()).encode())
+                else:
+                    self._send(404, "text/plain", b"not found")
+
+            def do_POST(self):
+                if self.path.split("?")[0] != "/set":
+                    self._send(404, "text/plain", b"not found")
+                    return
+                n = int(self.headers.get("Content-Length", 0))
+                try:
+                    viewer._apply(json.loads(self.rfile.read(n)))
+                    self._send(200, "application/json", b"{\"ok\": true}")
+                except Exception as e:  # bad field/value -> client error
+                    self._send(400, "text/plain", str(e).encode())
+
+        return Handler
+
+    # --- lifecycle ---------------------------------------------------------
+    def start(self, host: str = "127.0.0.1", port: int = 8000) -> int:
+        """Start sim + server threads; returns the bound port (0 = ephemeral)."""
+        self._server = ThreadingHTTPServer((host, port), self._handler())
+        self._threads = [
+            threading.Thread(target=self._sim_loop, daemon=True),
+            threading.Thread(target=self._server.serve_forever, daemon=True),
+        ]
+        for t in self._threads:
+            t.start()
+        return self._server.server_address[1]
+
+    def stop(self) -> None:
+        self._stop.set()
+        if self._server is not None:
+            self._server.shutdown()
+            self._server.server_close()
+        for t in self._threads:
+            t.join(timeout=10.0)
+
+    def run(self, host: str = "127.0.0.1", port: int = 8000) -> None:
+        bound = self.start(host, port)
+        print(f"serving on http://{host}:{bound}  (ctrl-c to stop)")
+        try:
+            while True:
+                time.sleep(1.0)
+        except KeyboardInterrupt:
+            pass
+        finally:
+            self.stop()

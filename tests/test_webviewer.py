@@ -1,0 +1,69 @@
+"""Browser viewer: HTTP surface + runtime parameter editing end-to-end."""
+import json
+import time
+import urllib.request
+
+import numpy as np
+
+from godotoceanwaves_tpu import Ocean
+from godotoceanwaves_tpu.utils.webviewer import PARAM_RANGES, WebViewer
+
+
+def _get(port, path):
+    with urllib.request.urlopen(f"http://127.0.0.1:{port}{path}", timeout=30) as r:
+        return r.status, r.headers.get("Content-Type"), r.read()
+
+
+def _post(port, body):
+    req = urllib.request.Request(f"http://127.0.0.1:{port}/set",
+                                 data=json.dumps(body).encode(), method="POST")
+    with urllib.request.urlopen(req, timeout=30) as r:
+        return r.status
+
+
+def test_webviewer_serves_and_edits_parameters():
+    ocean = Ocean(map_size=64, updates_per_second=0)
+    viewer = WebViewer(ocean, fps=30.0, width=64, height=36)
+    port = viewer.start(port=0)   # ephemeral
+    try:
+        status, ctype, page = _get(port, "/")
+        assert status == 200 and "text/html" in ctype
+        for name in PARAM_RANGES:
+            assert name.encode() not in b"" and name in json.dumps(PARAM_RANGES)
+        assert b"ocean panel" in page
+
+        status, _, body = _get(port, "/state")
+        state = json.loads(body)
+        assert len(state["cascades"]) == 3 and state["map_size"] == 64
+        assert set(state["cascades"][0]) == set(PARAM_RANGES)
+
+        # edit wind speed on cascade 1 through the HTTP surface
+        assert _post(port, {"cascade": 1, "name": "wind_speed",
+                            "value": 33.0}) == 200
+        assert float(np.asarray(ocean.params.wind_speed)[1]) == 33.0
+        # spectrum-affecting edit marks the cascade dirty (gd setter semantics)
+        assert ocean._dirty[1] and not ocean._dirty[0]
+
+        # update-rate + frame production
+        assert _post(port, {"name": "updates_per_second", "value": 24.0}) == 200
+        assert ocean.updates_per_second == 24.0
+
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            status, ctype, png = _get(port, "/frame.png")
+            assert status == 200 and ctype == "image/png"
+            state = json.loads(_get(port, "/state")[2])
+            if state["frame"] >= 2:
+                break
+            time.sleep(0.2)
+        assert state["frame"] >= 2, "sim thread produced no frames"
+        assert png[:8] == b"\x89PNG\r\n\x1a\n"
+
+        # bad requests are client errors, not crashes
+        try:
+            _post(port, {"name": "nope", "value": 1})
+            raise AssertionError("expected 400")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+    finally:
+        viewer.stop()
