@@ -53,12 +53,25 @@ def main() -> None:
     ap.add_argument("--web", action="store_true",
                     help="browser viewer: live render + parameter panel")
     ap.add_argument("--port", type=int, default=8000, help="--web port")
+    ap.add_argument("--ambience", type=str, default=None,
+                    help="write the wind-mixed procedural ambience loop "
+                         "(WAV) for the current cascade stack")
     args = ap.parse_args()
 
     ocean = Ocean(map_size=args.map_size,
                   updates_per_second=args.updates_per_second)
     if args.wind_speed is not None:
         ocean.set_cascade(0, wind_speed=args.wind_speed)
+
+    if args.ambience:
+        from godotoceanwaves_tpu.utils import audio
+        sr = 22050
+        audio.write_wav(args.ambience, audio.render_ambience(ocean.params,
+                                                             sample_rate=sr), sr)
+        total_wind = float(np.asarray(ocean.params.wind_speed).sum())
+        print(f"ambience loop -> {args.ambience} "
+              f"(gains db={audio.ambience_gains_db(total_wind)})")
+        return
 
     if args.live:
         from godotoceanwaves_tpu.utils.live import LiveViewer

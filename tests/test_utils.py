@@ -96,6 +96,56 @@ def test_audio_mix_law():
     assert o > w
 
 
+def test_audio_procedural_loops(tmp_path):
+    """Procedural stand-ins for ocean_loop.wav / wind_loop.wav (C20)."""
+    import wave as wave_mod
+
+    import numpy as np
+
+    from godotoceanwaves_tpu.models import default_cascades
+    from godotoceanwaves_tpu.utils import audio
+
+    sr = 8000
+    dur = 2.0
+    ocean = audio.synthesize_ocean_loop(dur, sr)
+    wind = audio.synthesize_wind_loop(dur, sr)
+    n = int(dur * sr)
+    for x in (ocean, wind):
+        assert x.shape == (n,)
+        assert np.max(np.abs(x)) <= 1.0 + 1e-12
+        assert abs(np.mean(x)) < 5e-3  # no DC pop
+        # Seamless by construction: the tiled signal has no discontinuity at
+        # the seam larger than the signal's own max adjacent-sample step.
+        seam = abs(x[0] - x[-1])
+        assert seam <= np.max(np.abs(np.diff(x)))
+    # Spectral identity: wind whistle is centered far above the ocean wash.
+    def centroid(x):
+        m = np.abs(np.fft.rfft(x))
+        f = np.fft.rfftfreq(len(x), 1.0 / sr)
+        return float(np.sum(f * m) / np.sum(m))
+    assert centroid(wind) > 2.0 * centroid(ocean)
+
+    # determinism
+    assert np.array_equal(ocean, audio.synthesize_ocean_loop(dur, sr))
+
+    # Mix follows the control law: calm -> wind-dominant, storm -> ocean.
+    calm = default_cascades().replace(wind_speed=np.zeros(3, np.float32))
+    mix_calm = audio.render_ambience(calm, dur, sr)
+    mix_storm = audio.render_ambience(default_cascades(), dur, sr)
+    assert np.sqrt(np.mean(mix_storm**2)) > np.sqrt(np.mean(mix_calm**2))
+
+    # WAV round-trip via stdlib reader.
+    path = str(tmp_path / "ambience.wav")
+    audio.write_wav(path, mix_storm, sr)
+    with wave_mod.open(path, "rb") as w:
+        assert w.getframerate() == sr
+        assert w.getnchannels() == 1
+        assert w.getsampwidth() == 2
+        frames = np.frombuffer(w.readframes(w.getnframes()), dtype="<i2")
+    assert frames.shape == (n,)
+    assert np.max(np.abs(frames / 32767.0 - np.clip(mix_storm, -1, 1))) < 1e-4
+
+
 def test_live_viewer_runtime_editing():
     """The C1/C14 capability: parameters editable while simulating, with
     immediate re-simulation (dirty-bit regen) and live stats (main.gd:57-121)."""
