@@ -3,6 +3,11 @@
 Run from the repo root:  python examples/quickstart.py
 (On CPU it uses the XLA FFT tier automatically; on TPU the fused kernel.)
 """
+import pathlib
+import sys
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
 import numpy as np
 
 from godotoceanwaves_tpu import (
