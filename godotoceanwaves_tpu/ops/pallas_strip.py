@@ -16,6 +16,19 @@ the mid-chain layers staged through HBM:
             field rows; consume them into displacement / normal / persistent
             foam (fft_unpack.glsl:45-67) entirely tile-locally.
 
+The sig(B) intermediate is stored BLOCK-TILED: (c, 4, 2, s, r, 128, 128)
+where tile (s, r) = sig(B)[r*128:(r+1)*128, s*128:(s+1)*128]. With s (A's
+grid axis) major, A's window is one contiguous 4xN/128 MB run per
+(layer, plane) and B's window decomposes into 64 KB segments — the naive
+(c, 4, 2, N, N) plane layout leaves one side of the exchange with 512-byte
+DMA segments. In-kernel the layout costs nothing: A reshapes its (N, 128)
+strip (sublane-aligned, free) and B assembles the transposed input the cols
+pass needs anyway from per-tile 128x128 transposes (the same relayout work
+as transposing the whole strip). Both kernels run double-buffered windows
+(`buffer_count=2`) so the next program's compute overlaps the DMA drain —
+measured on v5e at 2048^2x2: 4.9 -> 3.8 ms/frame vs the single-buffered
+plane layout, bit-identical output (docs/PERF.md has the decomposition).
+
 Because every program touches only (128, N) strips, per-program VMEM is
 ~20 MB at N=2048 and the design scales to N=8192 (the sigma un-swap requires
 Q = N/128 <= 128). HBM sees: spectra once, the 4x2xN^2 fp32 intermediate
@@ -42,8 +55,8 @@ from .pallas_step import (LANES, NUM_SCALARS, S_TIME, S_LX, S_LY, S_WHITECAP,
 
 def _pass1_kernel(scal_ref, wt_ref, radix_ref, t4l_ref,
                   h0_ref, h0nc_ref, sigb_ref, *, n: int, depth: float,
-                  g: float, tpp: int):
-    """Modulate `tpp` 128-row tiles and run each layer's first FFT pass."""
+                  g: float):
+    """Modulate one 128-row tile and run each layer's first FFT pass."""
     q = n // LANES
     t = scal_ref[0, 0, S_TIME]
     lx = scal_ref[0, 0, S_LX]
@@ -52,32 +65,32 @@ def _pass1_kernel(scal_ref, wt_ref, radix_ref, t4l_ref,
     radix_tw = radix_ref[:]
     t4l = t4l_ref[:]
 
-    for tt in range(tpp):
-        rt = pl.program_id(1) * tpp + tt
-        ds = slice(tt * LANES, (tt + 1) * LANES)
-        ls = slice(tt * LANES, (tt + 1) * LANES)
-        kx, ky, k = _k_tiles(n, rt, lx, ly)
-        phase = jnp.sqrt(jnp.float32(g) * k * jnp.tanh(k * jnp.float32(depth))) * t
-        c = jnp.cos(phase)
-        s = jnp.sin(phase)
-        h0r = h0_ref[0, 0, ds, :]
-        h0i = h0_ref[0, 1, ds, :]
-        ncr = h0nc_ref[0, 0, ds, :]
-        nci = h0nc_ref[0, 1, ds, :]
-        hr = c * (h0r + ncr) + s * (nci - h0i)
-        hi = s * (h0r - ncr) + c * (h0i + nci)
+    rt = pl.program_id(1)
+    kx, ky, k = _k_tiles(n, rt, lx, ly)
+    phase = jnp.sqrt(jnp.float32(g) * k * jnp.tanh(k * jnp.float32(depth))) * t
+    c = jnp.cos(phase)
+    s = jnp.sin(phase)
+    h0r = h0_ref[0, 0]
+    h0i = h0_ref[0, 1]
+    ncr = h0nc_ref[0, 0]
+    nci = h0nc_ref[0, 1]
+    hr = c * (h0r + ncr) + s * (nci - h0i)
+    hi = s * (h0r - ncr) + c * (h0i + nci)
 
-        for layer in range(4):
-            lr, li = _layer_tiles(layer, hr, hi, kx, ky, k)
-            zr, zi = pf._cols_pass_strip(lr.T, li.T, wt, radix_tw, t4l, n)
-            sigb_ref[0, layer, 0, :, ls] = pf._row_unswap_value(zr, q)
-            sigb_ref[0, layer, 1, :, ls] = pf._row_unswap_value(zi, q)
+    for layer in range(4):
+        lr, li = _layer_tiles(layer, hr, hi, kx, ky, k)
+        zr, zi = pf._cols_pass_strip(lr.T, li.T, wt, radix_tw, t4l, n)
+        # (N, 128) strip -> row-tiles (r, 128, 128): sublane-aligned reshape
+        sigb_ref[0, layer, 0, 0] = pf._row_unswap_value(zr, q).reshape(
+            q, LANES, LANES)
+        sigb_ref[0, layer, 1, 0] = pf._row_unswap_value(zi, q).reshape(
+            q, LANES, LANES)
 
 
 def _pass2_kernel(scal_ref, wt_ref, radix_ref, t4l_ref,
                   sigb_ref, foam_ref, disp_ref, norm_ref, foam_out_ref,
-                  *, n: int, map_dtype, tpp: int):
-    """Second FFT pass + unpack for `tpp` x 128 natural-order field rows."""
+                  *, n: int, map_dtype):
+    """Second FFT pass + unpack for 128 natural-order field rows."""
     q = n // LANES
     whitecap = scal_ref[0, 0, S_WHITECAP]
     grow = scal_ref[0, 0, S_GROW]
@@ -86,37 +99,39 @@ def _pass2_kernel(scal_ref, wt_ref, radix_ref, t4l_ref,
     radix_tw = radix_ref[:]
     t4l = t4l_ref[:]
 
-    for tt in range(tpp):
-        ds = slice(tt * LANES, (tt + 1) * LANES)
-        fields = []
-        for layer in range(4):
-            xr = sigb_ref[0, layer, 0, ds, :]   # (128, N): rows sl of sig(B)
-            xi = sigb_ref[0, layer, 1, ds, :]
-            # a[:, sl] = (sig(B)[sl, :])^T — the fused kernel's
-            # sigma-transpose, realized here by the window + a tile transpose
-            zr, zi = pf._cols_pass_strip(xr.T, xi.T, wt, radix_tw, t4l, n)
-            # field rows sl = (sigma-unswapped strip)^T (natural order)
-            fields.append((pf._row_unswap_value(zr, q).T,
-                           pf._row_unswap_value(zi, q).T))
+    fields = []
+    for layer in range(4):
+        # window holds tiles (s=0..q-1, r=j): tile s = sig(B)[rows j-block,
+        # cols s-block]. The cols pass consumes the TRANSPOSED strip
+        # a[:, j-block] = stack_s tile(s).T — per-tile transposes + a free
+        # sublane stack (the same relayout cost as one (128, N) transpose).
+        tr_ = sigb_ref[0, layer, 0, :, 0]   # (q, 128, 128)
+        ti_ = sigb_ref[0, layer, 1, :, 0]
+        xr_t = jnp.concatenate([tr_[s].T for s in range(q)], axis=0)  # (N,128)
+        xi_t = jnp.concatenate([ti_[s].T for s in range(q)], axis=0)
+        zr, zi = pf._cols_pass_strip(xr_t, xi_t, wt, radix_tw, t4l, n)
+        # field rows j-block = (sigma-unswapped strip)^T (natural order)
+        fields.append((pf._row_unswap_value(zr, q).T,
+                       pf._row_unswap_value(zi, q).T))
 
-        (hx, hy), (hz, dhy_dx), (dhy_dz, dhx_dx), (dhz_dz, dhz_dx) = fields
-        disp_ref[0, 0, ds, :] = hx.astype(map_dtype)
-        disp_ref[0, 1, ds, :] = hy.astype(map_dtype)
-        disp_ref[0, 2, ds, :] = hz.astype(map_dtype)
-        norm_ref[0, 0, ds, :] = (dhy_dx / (1.0 + jnp.abs(dhx_dx))).astype(map_dtype)
-        norm_ref[0, 1, ds, :] = (dhy_dz / (1.0 + jnp.abs(dhz_dz))).astype(map_dtype)
-        norm_ref[0, 2, ds, :] = dhx_dx.astype(map_dtype)
-        jacobian = (1.0 + dhx_dx) * (1.0 + dhz_dz) - dhz_dx * dhz_dx
-        foam_factor = -jnp.minimum(0.0, jacobian - whitecap)
-        foam = jnp.clip(foam_ref[0, ds, :] * jnp.exp(-decay) + foam_factor * grow,
-                        0.0, 1.0)
-        norm_ref[0, 3, ds, :] = foam.astype(map_dtype)
-        foam_out_ref[0, ds, :] = foam
+    (hx, hy), (hz, dhy_dx), (dhy_dz, dhx_dx), (dhz_dz, dhz_dx) = fields
+    disp_ref[0, 0] = hx.astype(map_dtype)
+    disp_ref[0, 1] = hy.astype(map_dtype)
+    disp_ref[0, 2] = hz.astype(map_dtype)
+    norm_ref[0, 0] = (dhy_dx / (1.0 + jnp.abs(dhx_dx))).astype(map_dtype)
+    norm_ref[0, 1] = (dhy_dz / (1.0 + jnp.abs(dhz_dz))).astype(map_dtype)
+    norm_ref[0, 2] = dhx_dx.astype(map_dtype)
+    jacobian = (1.0 + dhx_dx) * (1.0 + dhz_dz) - dhz_dx * dhz_dx
+    foam_factor = -jnp.minimum(0.0, jacobian - whitecap)
+    foam = jnp.clip(foam_ref[0] * jnp.exp(-decay) + foam_factor * grow,
+                    0.0, 1.0)
+    norm_ref[0, 3] = foam.astype(map_dtype)
+    foam_out_ref[0] = foam
 
 
 def strip_cascade_step(h0, h0nc, foam, scalars, *, depth: float,
                        g: float = 9.81, map_dtype=jnp.bfloat16,
-                       tiles_per_program: int = 1):
+                       buffer_count: int = 2):
     """Full fused-semantics step via the two strip kernels.
 
     h0/h0nc: (C, 2, N, N) fp32 planes; foam: (C, N, N) fp32; scalars as
@@ -124,19 +139,17 @@ def strip_cascade_step(h0, h0nc, foam, scalars, *, depth: float,
     normal (C,4,N,N) map_dtype, foam (C,N,N) fp32). Output is texel-identical
     (to fp32 rounding) with the staged planes path and the monolithic fused
     kernel.
+
+    buffer_count pipelines the sig(B) exchange windows (8 MB each at 2048):
+    2 overlaps each program's DMA with the next one's compute. (A previous
+    `tiles_per_program` knob batched strips per program — measured NEUTRAL
+    at 1/2/4 and removed; window pipelining hides the per-program machinery.)
     """
     c, two, n, n2 = h0.shape
     assert two == 2 and n == n2 and n % LANES == 0, h0.shape
     q = n // LANES
     assert q <= LANES, f"sigma un-swap needs N <= {LANES * LANES}, got {n}"
-    # tiles_per_program batches strips per grid program; measured NEUTRAL at
-    # 2048 (tpp 1/2/4 all ~4.7 ms/frame — the window pipeline already hides
-    # the per-program machinery) and tpp=8 exceeds Mosaic's compile budget,
-    # so the default stays 1. Kept as a knob for larger-N experiments.
-    tpp = tiles_per_program
     nt = n // LANES
-    assert nt % tpp == 0, (nt, tpp)
-    tr = tpp * LANES   # rows (pass 1) / lanes (pass 2 input) per program
     wt = jnp.asarray(np.stack([np.asarray(a).T.copy()
                                for a in pf._w128(n == LANES)]))
     radix_tw, _ = pf.twiddle_inputs(n, True)
@@ -144,45 +157,48 @@ def strip_cascade_step(h0, h0nc, foam, scalars, *, depth: float,
 
     cs = lambda shape: pl.BlockSpec(
         shape, lambda *_: (0,) * len(shape), memory_space=pltpu.VMEM)
-    single = dict(pipeline_mode=pl.Buffered(buffer_count=1))
+    buffered = dict(pipeline_mode=pl.Buffered(buffer_count=buffer_count))
 
     sigb = pl.pallas_call(
-        functools.partial(_pass1_kernel, n=n, depth=depth, g=g, tpp=tpp),
-        grid=(c, nt // tpp),
+        functools.partial(_pass1_kernel, n=n, depth=depth, g=g),
+        grid=(c, nt),
         in_specs=[
             pl.BlockSpec((1, 1, NUM_SCALARS), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.SMEM),
             cs(wt.shape), cs(radix_tw.shape), cs(t4l.shape),
-            pl.BlockSpec((1, 2, tr, n), lambda i, j: (i, 0, j, 0),
+            pl.BlockSpec((1, 2, LANES, n), lambda i, j: (i, 0, j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 2, tr, n), lambda i, j: (i, 0, j, 0),
+            pl.BlockSpec((1, 2, LANES, n), lambda i, j: (i, 0, j, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 4, 2, n, tr), lambda i, j: (i, 0, 0, 0, j),
-                               memory_space=pltpu.VMEM, **single),
-        out_shape=jax.ShapeDtypeStruct((c, 4, 2, n, n), jnp.float32),
+        out_specs=pl.BlockSpec((1, 4, 2, 1, nt, LANES, LANES),
+                               lambda i, j: (i, 0, 0, j, 0, 0, 0),
+                               memory_space=pltpu.VMEM, **buffered),
+        out_shape=jax.ShapeDtypeStruct((c, 4, 2, nt, nt, LANES, LANES),
+                                       jnp.float32),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=127 * 1024 * 1024),
     )(scalars, wt, radix_tw, t4l, h0, h0nc)
 
     return pl.pallas_call(
-        functools.partial(_pass2_kernel, n=n, map_dtype=map_dtype, tpp=tpp),
-        grid=(c, nt // tpp),
+        functools.partial(_pass2_kernel, n=n, map_dtype=map_dtype),
+        grid=(c, nt),
         in_specs=[
             pl.BlockSpec((1, 1, NUM_SCALARS), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.SMEM),
             cs(wt.shape), cs(radix_tw.shape), cs(t4l.shape),
-            pl.BlockSpec((1, 4, 2, tr, n), lambda i, j: (i, 0, 0, j, 0),
-                         memory_space=pltpu.VMEM, **single),
-            pl.BlockSpec((1, tr, n), lambda i, j: (i, j, 0),
+            pl.BlockSpec((1, 4, 2, nt, 1, LANES, LANES),
+                         lambda i, j: (i, 0, 0, 0, j, 0, 0),
+                         memory_space=pltpu.VMEM, **buffered),
+            pl.BlockSpec((1, LANES, n), lambda i, j: (i, j, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((1, 3, tr, n), lambda i, j: (i, 0, j, 0),
+            pl.BlockSpec((1, 3, LANES, n), lambda i, j: (i, 0, j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 4, tr, n), lambda i, j: (i, 0, j, 0),
+            pl.BlockSpec((1, 4, LANES, n), lambda i, j: (i, 0, j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tr, n), lambda i, j: (i, j, 0),
+            pl.BlockSpec((1, LANES, n), lambda i, j: (i, j, 0),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(

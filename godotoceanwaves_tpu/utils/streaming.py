@@ -16,7 +16,6 @@ import queue
 from typing import Callable, Iterator
 
 import numpy as np
-import jax
 
 
 class MapStreamer:
@@ -27,17 +26,23 @@ class MapStreamer:
     ...     consume(host_maps["displacement"], host_maps["normal"])
     """
 
-    def __init__(self, step_fn: Callable[[], object], max_inflight: int = 2):
+    def __init__(self, step_fn: Callable[[], object], max_inflight: int = 2,
+                 host_dtype=None):
+        """host_dtype: convert maps host-side after transfer (e.g. np.float32
+        for consumers that can't read ml_dtypes bfloat16). The transfer itself
+        always moves the maps' native dtype — upcasting before the copy would
+        double the bytes over the device->host link for bf16 maps."""
         self._step = step_fn
         self._pool = concurrent.futures.ThreadPoolExecutor(max_workers=1)
         self._max_inflight = max_inflight
+        self._host_dtype = host_dtype
 
-    @staticmethod
-    def _fetch(maps) -> dict[str, np.ndarray]:
-        return {
-            "displacement": np.asarray(maps.displacement.astype(jax.numpy.float32)),
-            "normal": np.asarray(maps.normal.astype(jax.numpy.float32)),
-        }
+    def _fetch(self, maps) -> dict[str, np.ndarray]:
+        def get(x) -> np.ndarray:
+            a = np.asarray(x)  # native dtype (bf16 arrives via ml_dtypes)
+            return a.astype(self._host_dtype) if self._host_dtype is not None else a
+        return {"displacement": get(maps.displacement),
+                "normal": get(maps.normal)}
 
     def stream(self, num_frames: int) -> Iterator[dict[str, np.ndarray]]:
         inflight: queue.Queue = queue.Queue()

@@ -12,8 +12,8 @@ from godotoceanwaves_tpu.models.ocean import _foam_rates, step_impl
 from godotoceanwaves_tpu.ops import pallas_step, pallas_strip
 
 
-@pytest.mark.parametrize("n,tpp", [(256, 1), (256, 2), (512, 1)])
-def test_strip_step_matches_staged_pipeline(n, tpp, rms, monkeypatch):
+@pytest.mark.parametrize("n,bufs", [(256, 1), (256, 2), (512, 2)])
+def test_strip_step_matches_staged_pipeline(n, bufs, rms, monkeypatch):
     """The two-kernel HBM-staged chain == the staged planes path.
 
     The kernels are size-generic (any Q = N/128 <= 128); interpret-mode
@@ -40,7 +40,7 @@ def test_strip_step_matches_staged_pipeline(n, tpp, rms, monkeypatch):
     disp, norm, foam = pallas_strip.strip_cascade_step(
         state.h0, state.h0nc, state.foam, scal,
         depth=cfg.depth, g=cfg.g, map_dtype=jnp.float32,
-        tiles_per_program=tpp)
+        buffer_count=bufs)
 
     for got, want in [(disp, ref_maps.displacement), (norm, ref_maps.normal),
                       (foam, ref_state.foam)]:
