@@ -32,6 +32,10 @@ import time
 import jax
 import jax.numpy as jnp
 
+from godotoceanwaves_tpu.utils.cache import enable_persistent_cache
+
+enable_persistent_cache()
+
 from godotoceanwaves_tpu import SimConfig, default_cascades, init_state
 from godotoceanwaves_tpu.models.cascade import CascadeParams, dual_wind_swell_cascades
 from godotoceanwaves_tpu.models.ocean import multi_step, step

@@ -24,6 +24,10 @@ import time
 
 import numpy as np
 
+from godotoceanwaves_tpu.utils.cache import enable_persistent_cache
+
+enable_persistent_cache()
+
 from godotoceanwaves_tpu import Ocean
 from godotoceanwaves_tpu.models import shading, spray
 from godotoceanwaves_tpu.utils.observability import FrameStats, panel

@@ -85,6 +85,22 @@ def test_godot_rng_is_pcg32():
     assert GodotRNG(5).randi_range(3, 3) == 3  # equal endpoints short-circuit
 
 
+def test_persistent_cache_helper(tmp_path):
+    import jax
+
+    from godotoceanwaves_tpu.utils.cache import enable_persistent_cache
+
+    prev = jax.config.jax_compilation_cache_dir
+    try:
+        d = str(tmp_path / "xla_cache")
+        assert enable_persistent_cache(d) == d
+        assert jax.config.jax_compilation_cache_dir == d
+        import os
+        assert os.path.isdir(d)
+    finally:
+        enable_persistent_cache(prev)  # restore the suite's cache
+
+
 def test_audio_mix_law():
     from godotoceanwaves_tpu.utils import audio
     from godotoceanwaves_tpu.models import default_cascades
