@@ -202,39 +202,43 @@ def _one_frame(scal_ref, wt_ref, radix_ref, t4l_ref,
                                       wt, radix_tw, t4l, n)
             b_scr[0, :, sl] = zr
             b_scr[1, :, sl] = zi
-        _sigma_transpose_into(b_scr, a_scr, q, n)   # A = chain output (natural)
-
-        for qp in range(nt):
-            ds = slice(qp * LANES, (qp + 1) * LANES)
-            re = a_scr[0, ds, :]
-            im = a_scr[1, ds, :]
+        # Consume is FUSED into the final sigma transpose: each lane-strip of
+        # the natural-order field is produced as (sigma rows of B)^T and
+        # written straight to its map window / keeper scratch as an (N, 128)
+        # column strip, skipping the a_scr round trip (one whole-plane VMEM
+        # store + load per plane per layer that _sigma_transpose_into + a
+        # row-tile consume loop would cost).
+        for ls in range(nt):
+            sl = slice(ls * LANES, (ls + 1) * LANES)
+            re = _sigma_rows_tile(b_scr.at[0], ls, q, n).T     # (N, 128)
+            im = _sigma_rows_tile(b_scr.at[1], ls, q, n).T
             if layer == 0:
-                dref[0, ds, :] = re.astype(map_dtype)          # hx
-                dref[1, ds, :] = im.astype(map_dtype)          # hy
+                dref[0, :, sl] = re.astype(map_dtype)          # hx
+                dref[1, :, sl] = im.astype(map_dtype)          # hy
             elif layer == 1:
-                dref[2, ds, :] = re.astype(map_dtype)          # hz
-                k1_scr[ds, :] = im.astype(map_dtype)           # dhy_dx
+                dref[2, :, sl] = re.astype(map_dtype)          # hz
+                k1_scr[:, sl] = im.astype(map_dtype)           # dhy_dx
             elif layer == 2:
-                k2_scr[ds, :] = re.astype(map_dtype)           # dhy_dz
-                k3_scr[ds, :] = im                             # dhx_dx (fp32)
+                k2_scr[:, sl] = re.astype(map_dtype)           # dhy_dz
+                k3_scr[:, sl] = im                             # dhx_dx (fp32)
                 # normal.xy half-ready: x needs only dhx_dx (fft_unpack.glsl:66)
-                nref[0, ds, :] = (k1_scr[ds, :].astype(jnp.float32)
+                nref[0, :, sl] = (k1_scr[:, sl].astype(jnp.float32)
                                   / (1.0 + jnp.abs(im))).astype(map_dtype)
-                nref[2, ds, :] = im.astype(map_dtype)
+                nref[2, :, sl] = im.astype(map_dtype)
             else:
                 dhz_dz, dhz_dx = re, im
-                dhx_dx = k3_scr[ds, :]
+                dhx_dx = k3_scr[:, sl]
                 jacobian = (1.0 + dhx_dx) * (1.0 + dhz_dz) - dhz_dx * dhz_dx
                 foam_factor = -jnp.minimum(0.0, jacobian - whitecap)
-                foam_prev = foam_scr[ds, :] if multi else foam_ref[0, ds, :]
+                foam_prev = foam_scr[:, sl] if multi else foam_ref[0, :, sl]
                 foam = foam_prev * jnp.exp(-decay) + foam_factor * grow
                 foam = jnp.clip(foam, 0.0, 1.0)
-                nref[1, ds, :] = (k2_scr[ds, :].astype(jnp.float32)
+                nref[1, :, sl] = (k2_scr[:, sl].astype(jnp.float32)
                                   / (1.0 + jnp.abs(dhz_dz))).astype(map_dtype)
-                nref[3, ds, :] = foam.astype(map_dtype)
+                nref[3, :, sl] = foam.astype(map_dtype)
                 if multi:
-                    foam_scr[ds, :] = foam
-                foam_out_ref[0, ds, :] = foam
+                    foam_scr[:, sl] = foam
+                foam_out_ref[0, :, sl] = foam
 
 
 def _default_frames_per_program(num_frames: int, n: int, map_dtype) -> int:
