@@ -62,20 +62,28 @@ def main() -> None:
                          "(WAV) for the current cascade stack")
     args = ap.parse_args()
 
+    if args.ambience:
+        # host-only: the mix law needs only the cascade wind speeds, so use
+        # the scene defaults (main.tscn:43-83) as plain NumPy — constructing
+        # jnp params (let alone an Ocean) would block on device/backend init
+        import types
+
+        from godotoceanwaves_tpu.utils import audio
+        ws = np.array([10.0, 5.0, 20.0], np.float32)   # default_cascades()
+        if args.wind_speed is not None:
+            ws[0] = args.wind_speed
+        params = types.SimpleNamespace(wind_speed=ws)
+        sr = 22050
+        audio.write_wav(args.ambience,
+                        audio.render_ambience(params, sample_rate=sr), sr)
+        print(f"ambience loop -> {args.ambience} "
+              f"(gains db={audio.ambience_gains_db(float(ws.sum()))})")
+        return
+
     ocean = Ocean(map_size=args.map_size,
                   updates_per_second=args.updates_per_second)
     if args.wind_speed is not None:
         ocean.set_cascade(0, wind_speed=args.wind_speed)
-
-    if args.ambience:
-        from godotoceanwaves_tpu.utils import audio
-        sr = 22050
-        audio.write_wav(args.ambience, audio.render_ambience(ocean.params,
-                                                             sample_rate=sr), sr)
-        total_wind = float(np.asarray(ocean.params.wind_speed).sum())
-        print(f"ambience loop -> {args.ambience} "
-              f"(gains db={audio.ambience_gains_db(total_wind)})")
-        return
 
     if args.live:
         from godotoceanwaves_tpu.utils.live import LiveViewer

@@ -150,6 +150,12 @@ def strip_cascade_step(h0, h0nc, foam, scalars, *, depth: float,
     q = n // LANES
     assert q <= LANES, f"sigma un-swap needs N <= {LANES * LANES}, got {n}"
     nt = n // LANES
+    # At N=8192 the exchange window is 32 MB and the Q=64 strip kernels spill
+    # ~58 MB of registers: double-buffered windows blow the 128 MB VMEM
+    # budget (measured OOM: 161.9 MB). Fall back to single buffering for
+    # every big window there — slower, but the design bound stays runnable.
+    if n >= 8192:
+        buffer_count = 1
     wt = jnp.asarray(np.stack([np.asarray(a).T.copy()
                                for a in pf._w128(n == LANES)]))
     radix_tw, _ = pf.twiddle_inputs(n, True)
@@ -167,9 +173,9 @@ def strip_cascade_step(h0, h0nc, foam, scalars, *, depth: float,
                          memory_space=pltpu.SMEM),
             cs(wt.shape), cs(radix_tw.shape), cs(t4l.shape),
             pl.BlockSpec((1, 2, LANES, n), lambda i, j: (i, 0, j, 0),
-                         memory_space=pltpu.VMEM),
+                         memory_space=pltpu.VMEM, **buffered),
             pl.BlockSpec((1, 2, LANES, n), lambda i, j: (i, 0, j, 0),
-                         memory_space=pltpu.VMEM),
+                         memory_space=pltpu.VMEM, **buffered),
         ],
         out_specs=pl.BlockSpec((1, 4, 2, 1, nt, LANES, LANES),
                                lambda i, j: (i, 0, 0, j, 0, 0, 0),
@@ -191,15 +197,15 @@ def strip_cascade_step(h0, h0nc, foam, scalars, *, depth: float,
                          lambda i, j: (i, 0, 0, 0, j, 0, 0),
                          memory_space=pltpu.VMEM, **buffered),
             pl.BlockSpec((1, LANES, n), lambda i, j: (i, j, 0),
-                         memory_space=pltpu.VMEM),
+                         memory_space=pltpu.VMEM, **buffered),
         ],
         out_specs=(
             pl.BlockSpec((1, 3, LANES, n), lambda i, j: (i, 0, j, 0),
-                         memory_space=pltpu.VMEM),
+                         memory_space=pltpu.VMEM, **buffered),
             pl.BlockSpec((1, 4, LANES, n), lambda i, j: (i, 0, j, 0),
-                         memory_space=pltpu.VMEM),
+                         memory_space=pltpu.VMEM, **buffered),
             pl.BlockSpec((1, LANES, n), lambda i, j: (i, j, 0),
-                         memory_space=pltpu.VMEM),
+                         memory_space=pltpu.VMEM, **buffered),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((c, 3, n, n), map_dtype),

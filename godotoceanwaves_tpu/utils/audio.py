@@ -53,7 +53,7 @@ def _periodic_noise(magnitude: np.ndarray, rng: np.random.Generator,
     spec = spec * np.exp(1j * phases)
     spec[0] = 0.0
     if num_samples % 2 == 0:
-        spec[-1] = spec[-1].real
+        spec[-1] = 0.0
     x = np.fft.irfft(spec, n=num_samples)
     peak = np.max(np.abs(x))
     return x / peak if peak > 0 else x

@@ -28,7 +28,12 @@ def enable_persistent_cache(path: str | None = None) -> str:
     cache_dir = path or os.environ.get(
         "GODOTOCEANWAVES_CACHE_DIR",
         os.path.join(os.path.expanduser("~"), ".cache", "godotoceanwaves_xla"))
-    os.makedirs(cache_dir, exist_ok=True)
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+    except OSError:
+        # read-only HOME / odd container: the cache is an optional
+        # optimization, never a startup failure
+        return ""
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     # default threshold (1 s) skips tiny programs; keep everything above 0.5 s
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

@@ -27,11 +27,13 @@ class MapStreamer:
     """
 
     def __init__(self, step_fn: Callable[[], object], max_inflight: int = 2,
-                 host_dtype=None):
-        """host_dtype: convert maps host-side after transfer (e.g. np.float32
-        for consumers that can't read ml_dtypes bfloat16). The transfer itself
-        always moves the maps' native dtype — upcasting before the copy would
-        double the bytes over the device->host link for bf16 maps."""
+                 host_dtype=np.float32):
+        """host_dtype: dtype the yielded arrays are converted to HOST-SIDE,
+        after the transfer (default np.float32, the historical contract —
+        safe for PIL/cv2/encoders). Pass None to keep the maps' native dtype
+        (bf16 arrives as ml_dtypes.bfloat16). Either way the device->host
+        copy itself always moves the native dtype — upcasting before the
+        copy would double the bytes over the link for bf16 maps."""
         self._step = step_fn
         self._pool = concurrent.futures.ThreadPoolExecutor(max_workers=1)
         self._max_inflight = max_inflight

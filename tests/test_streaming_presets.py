@@ -35,21 +35,22 @@ def test_map_streamer_overlaps_and_preserves_order():
 
 
 def test_map_streamer_native_dtype_and_host_conversion():
-    """Transfers move the maps' native dtype (half the bytes for bf16);
-    host_dtype converts after the copy for consumers that need fp32."""
+    """Transfers move the maps' native dtype (half the bytes for bf16); the
+    yielded arrays default to fp32 (historical contract), host_dtype=None
+    keeps the native dtype."""
     import ml_dtypes
 
     ocean = Ocean(map_size=N, updates_per_second=0, map_dtype="bfloat16")
-    streamer = MapStreamer(lambda: ocean.update(0.1))
-    host = next(iter(streamer.stream(num_frames=1)))
-    streamer.close()
-    assert host["displacement"].dtype == ml_dtypes.bfloat16
-
-    streamer = MapStreamer(lambda: ocean.update(0.1), host_dtype=np.float32)
+    streamer = MapStreamer(lambda: ocean.update(0.1))  # default: fp32 out
     host = next(iter(streamer.stream(num_frames=1)))
     streamer.close()
     assert host["displacement"].dtype == np.float32
     assert np.isfinite(host["displacement"]).all()
+
+    streamer = MapStreamer(lambda: ocean.update(0.1), host_dtype=None)
+    host = next(iter(streamer.stream(num_frames=1)))
+    streamer.close()
+    assert host["displacement"].dtype == ml_dtypes.bfloat16
 
 
 def test_map_streamer_handles_rate_limited_updates():
