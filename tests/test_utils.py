@@ -101,6 +101,44 @@ def test_persistent_cache_helper(tmp_path):
         enable_persistent_cache(prev)  # restore the suite's cache
 
 
+def test_persistent_cache_unwritable_dir_degrades_gracefully(tmp_path):
+    """An unwritable cache location must never be a startup failure."""
+    import jax
+
+    from godotoceanwaves_tpu.utils.cache import enable_persistent_cache
+
+    prev = jax.config.jax_compilation_cache_dir
+    blocked = tmp_path / "blocked"
+    blocked.write_text("a file, not a dir")  # makedirs -> OSError
+    try:
+        assert enable_persistent_cache(str(blocked / "cache")) == ""
+        assert jax.config.jax_compilation_cache_dir == prev  # untouched
+    finally:
+        enable_persistent_cache(prev)
+
+
+def test_demo_ambience_cli_is_host_only(tmp_path):
+    """`demo.py --ambience` must finish fast with no device work."""
+    import pathlib
+    import subprocess
+    import sys
+    import wave as wave_mod
+
+    root = pathlib.Path(__file__).resolve().parents[1]
+    out = tmp_path / "amb.wav"
+    proc = subprocess.run(
+        [sys.executable, str(root / "demo.py"), "--ambience", str(out),
+         "--wind-speed", "3"],
+        capture_output=True, text=True, timeout=120, cwd=str(root),
+        env={"PATH": "/usr/bin:/bin", "HOME": "/tmp",
+             "JAX_PLATFORMS": "cpu"},
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "ambience loop" in proc.stdout
+    with wave_mod.open(str(out), "rb") as w:
+        assert w.getnframes() > 0
+
+
 def test_audio_mix_law():
     from godotoceanwaves_tpu.utils import audio
     from godotoceanwaves_tpu.models import default_cascades
