@@ -44,21 +44,43 @@ LANES = 128
 # --- host-side constant precompute ---------------------------------------
 
 @functools.lru_cache(maxsize=None)
-def _radix_twiddles(q: int) -> tuple[np.ndarray, ...]:
-    """Per-stage Stockham twiddles for the DFT_Q digit pass.
+def _radix_twiddles(q: int) -> np.ndarray:
+    """Fused radix-4 stage tables for the DFT_Q digit pass: (S4, 3, 2, Q/2).
 
-    Stage s (stride = 2^s): tw[col] = e^{i pi (col % stride) / stride} for
-    col in [0, Q/2) — the same factors fft_butterfly.glsl:27 tabulates, in
-    closed form. Returned as (re, im) pairs of shape (Q/2, 1).
+    Each fused stage (covering radix-2 strides 2^s and 2^(s+1)) carries
+    three twiddle rows as (re, im):
+      [0] t1[col]  = e^{i pi (col % stride) / stride},        col in [0, Q/2)
+      [1] t2[j]    = e^{i pi (j % stride) / (2 stride)},      j   in [0, Q/4)
+      [2] i*t2[j]  (the second butterfly's twiddle on the lower half)
+    t2 rows are zero-padded to Q/2. These are the closed forms of the factors
+    fft_butterfly.glsl:27 tabulates, algebraically fused in stage pairs (see
+    _dft_q). A lone leading radix-2 stage (odd log2 Q) needs no table — its
+    stride-1 twiddles are all ones.
     """
+    half, quarter = q // 2, max(1, q // 4)
+    nstages = int(np.log2(q))
+    s = 1 if nstages % 2 == 1 else 0
     out = []
-    for s in range(int(np.log2(q))):
+    while s < nstages:
         stride = 1 << s
-        col = np.arange(q // 2)
-        ang = np.pi * (col % stride) / stride
-        out.append((np.cos(ang).astype(np.float32).reshape(-1, 1),
-                    np.sin(ang).astype(np.float32).reshape(-1, 1)))
-    return tuple(out)
+        col = np.arange(half)
+        a1 = np.pi * (col % stride) / stride
+        j = np.arange(quarter)
+        a2 = np.pi * (j % stride) / (2.0 * stride)
+        a3 = a2 + np.pi / 2.0
+
+        def pack(ang):
+            re = np.zeros(half)
+            im = np.zeros(half)
+            re[: ang.shape[0]] = np.cos(ang)
+            im[: ang.shape[0]] = np.sin(ang)
+            return np.stack([re, im])
+
+        out.append(np.stack([pack(a1), pack(a2), pack(a3)]))
+        s += 2
+    if not out:   # q == 2: only the tableless leading radix-2 stage
+        return np.zeros((1, 3, 2, max(1, half)), np.float32)
+    return np.stack(out).astype(np.float32)
 
 
 @functools.lru_cache(maxsize=None)
@@ -113,33 +135,69 @@ def _w128(fold_sign_when_q1: bool) -> tuple[np.ndarray, ...]:
 # --- algorithm pieces (shared verbatim by jnp twin and Pallas kernel) -----
 
 def _dft_q(xr, xi, radix_tw, q: int):
-    """DFT_Q over axis -2 of (..., Q, 128) via radix-2 Stockham stages (fp32).
+    """DFT_Q over axis -2 of (..., Q, 128): fused radix-4 Stockham (fp32).
 
-    Positive-exponent, unnormalized, self-sorting. Stage recurrence (the
-    closed form of the reference's butterfly tables, fft_butterfly.glsl:24-34):
-      upper = x[:Q/2] + tw*x[Q/2:],  lower = x[:Q/2] - tw*x[Q/2:],
-      out   = interleave blocks of `stride` from upper/lower.
-    `radix_tw` is the (S, 2, Q/2) per-stage twiddle input.
+    Positive-exponent, unnormalized, self-sorting; the output ordering is
+    IDENTICAL to the radix-2 stage chain it replaces (the closed form of the
+    reference's butterfly tables, fft_butterfly.glsl:24-34) — verified
+    exactly — so the four-step digit permutation sigma is unchanged. Fusing
+    stage pairs algebraically keeps the multiply count but HALVES the
+    interleave relayouts, the VPU cost driver of this pass. A lone leading
+    radix-2 stage (odd log2 Q) runs tableless (stride-1 twiddles are 1).
+
+    `radix_tw` is the (S4, 3, 2, Q/2) fused-stage table (_radix_twiddles).
     """
     half = q // 2
-    for s in range(int(np.log2(q))):
-        stride = 1 << s
-        twr = radix_tw[s, 0].reshape(half, 1)
-        twi = radix_tw[s, 1].reshape(half, 1)
+    quarter = q // 4
+    nstages = int(np.log2(q))
+
+    def interleave(parts, stride, width):
+        lead = parts[0].shape[:-2]
+        ps = [p.reshape(*lead, width // stride, 1, stride, LANES)
+              for p in parts]
+        return jnp.concatenate(ps, axis=-3).reshape(*lead, q, LANES)
+
+    s = 0
+    if nstages % 2 == 1:
         ar, ai = xr[..., :half, :], xi[..., :half, :]
         br, bi = xr[..., half:, :], xi[..., half:, :]
-        tbr = br * twr - bi * twi
-        tbi = br * twi + bi * twr
+        xr = interleave([ar + br, ar - br], 1, half)
+        xi = interleave([ai + bi, ai - bi], 1, half)
+        s = 1
+
+    s4 = 0
+    while s < nstages:
+        stride = 1 << s
+        t1r = radix_tw[s4, 0, 0].reshape(half, 1)
+        t1i = radix_tw[s4, 0, 1].reshape(half, 1)
+        ar, ai = xr[..., :half, :], xi[..., :half, :]
+        br, bi = xr[..., half:, :], xi[..., half:, :]
+        tbr = br * t1r - bi * t1i
+        tbi = br * t1i + bi * t1r
         ur, ui = ar + tbr, ai + tbi
         lr, li = ar - tbr, ai - tbi
-
-        def interleave(u, l):
-            lead = u.shape[:-2]
-            u = u.reshape(*lead, half // stride, 1, stride, LANES)
-            l = l.reshape(*lead, half // stride, 1, stride, LANES)
-            return jnp.concatenate([u, l], axis=-3).reshape(*lead, q, LANES)
-
-        xr, xi = interleave(ur, lr), interleave(ui, li)
+        # second butterfly of the pair, in pre-interleave coordinates:
+        # u pairs (j, j+Q/4) with twiddle t2; l pairs with i*t2
+        t2r = radix_tw[s4, 1, 0, :quarter].reshape(quarter, 1)
+        t2i = radix_tw[s4, 1, 1, :quarter].reshape(quarter, 1)
+        t3r = radix_tw[s4, 2, 0, :quarter].reshape(quarter, 1)
+        t3i = radix_tw[s4, 2, 1, :quarter].reshape(quarter, 1)
+        u1r, u1i = ur[..., :quarter, :], ui[..., :quarter, :]
+        u2r, u2i = ur[..., quarter:, :], ui[..., quarter:, :]
+        tur = u2r * t2r - u2i * t2i
+        tui = u2r * t2i + u2i * t2r
+        l1r, l1i = lr[..., :quarter, :], li[..., :quarter, :]
+        l2r, l2i = lr[..., quarter:, :], li[..., quarter:, :]
+        tlr = l2r * t3r - l2i * t3i
+        tli = l2r * t3i + l2i * t3r
+        # composed permutation of the two stages = ONE 4-way interleave in
+        # the order (uu, lu, ul, ll) (derived + verified vs the 2-stage form)
+        xr = interleave([u1r + tur, l1r + tlr, u1r - tur, l1r - tlr],
+                        stride, quarter)
+        xi = interleave([u1i + tui, l1i + tli, u1i - tui, l1i - tli],
+                        stride, quarter)
+        s += 2
+        s4 += 1
     return xr, xi
 
 
@@ -232,14 +290,13 @@ def w128_stack(n: int, fold_sign: bool) -> jax.Array:
 
 
 def twiddle_inputs(n: int, fold_sign: bool) -> tuple[jax.Array, jax.Array]:
-    """(radix_tw (S,2,Q/2), t4 (2,Q,128)) fp32 inputs; dummies when Q == 1."""
+    """(radix_tw (S4,3,2,Q/2), t4 (2,Q,128)) fp32 inputs; dummies when Q == 1."""
     q = n // LANES
     if q == 1:
-        return jnp.zeros((1, 2, 1), jnp.float32), jnp.zeros((2, 1, LANES), jnp.float32)
-    stages = _radix_twiddles(q)
-    radix = np.stack([np.stack([tr[:, 0], ti[:, 0]]) for tr, ti in stages])
+        return (jnp.zeros((1, 3, 2, 1), jnp.float32),
+                jnp.zeros((2, 1, LANES), jnp.float32))
     t4 = np.stack(_fourstep_twiddle(n, fold_sign))
-    return jnp.asarray(radix.astype(np.float32)), jnp.asarray(t4)
+    return jnp.asarray(_radix_twiddles(q)), jnp.asarray(t4)
 
 
 # --- jnp twin (CPU fallback + unit-test oracle for the kernel algebra) ----
@@ -309,29 +366,56 @@ def ifft2_packed_planes_pallas(x: jax.Array, fold_sign: bool = True) -> jax.Arra
 def _dft_q_lead(xr, xi, radix_tw, q: int):
     """DFT_Q over axis 0 of (Q, M) flattened blocks — column-pass digits.
 
-    Same Stockham recurrence as pallas_fft._dft_q with the digit axis leading.
-    Operates on 2D arrays (Mosaic rejects the 3D trailing-singleton
-    broadcasts the unflattened form would need).
+    Same fused radix-4 Stockham as _dft_q (identical output ordering) with
+    the digit axis leading. Operates on 2D arrays (Mosaic rejects the 3D
+    trailing-singleton broadcasts the unflattened form would need).
     """
     half = q // 2
+    quarter = q // 4
     m = xr.shape[1]
-    for s in range(int(np.log2(q))):
-        stride = 1 << s
-        twr = radix_tw[s, 0].reshape(half, 1)
-        twi = radix_tw[s, 1].reshape(half, 1)
+    nstages = int(np.log2(q))
+
+    def interleave(parts, stride, width):
+        ps = [p.reshape(width // stride, 1, stride, m) for p in parts]
+        return jnp.concatenate(ps, axis=1).reshape(q, m)
+
+    s = 0
+    if nstages % 2 == 1:
         ar, ai = xr[:half], xi[:half]
         br, bi = xr[half:], xi[half:]
-        tbr = br * twr - bi * twi
-        tbi = br * twi + bi * twr
+        xr = interleave([ar + br, ar - br], 1, half)
+        xi = interleave([ai + bi, ai - bi], 1, half)
+        s = 1
+
+    s4 = 0
+    while s < nstages:
+        stride = 1 << s
+        t1r = radix_tw[s4, 0, 0].reshape(half, 1)
+        t1i = radix_tw[s4, 0, 1].reshape(half, 1)
+        ar, ai = xr[:half], xi[:half]
+        br, bi = xr[half:], xi[half:]
+        tbr = br * t1r - bi * t1i
+        tbi = br * t1i + bi * t1r
         ur, ui = ar + tbr, ai + tbi
         lr, li = ar - tbr, ai - tbi
-
-        def interleave(u, l):
-            u = u.reshape(half // stride, 1, stride, m)
-            l = l.reshape(half // stride, 1, stride, m)
-            return jnp.concatenate([u, l], axis=1).reshape(q, m)
-
-        xr, xi = interleave(ur, lr), interleave(ui, li)
+        t2r = radix_tw[s4, 1, 0, :quarter].reshape(quarter, 1)
+        t2i = radix_tw[s4, 1, 1, :quarter].reshape(quarter, 1)
+        t3r = radix_tw[s4, 2, 0, :quarter].reshape(quarter, 1)
+        t3i = radix_tw[s4, 2, 1, :quarter].reshape(quarter, 1)
+        u1r, u1i = ur[:quarter], ui[:quarter]
+        u2r, u2i = ur[quarter:], ui[quarter:]
+        tur = u2r * t2r - u2i * t2i
+        tui = u2r * t2i + u2i * t2r
+        l1r, l1i = lr[:quarter], li[:quarter]
+        l2r, l2i = lr[quarter:], li[quarter:]
+        tlr = l2r * t3r - l2i * t3i
+        tli = l2r * t3i + l2i * t3r
+        xr = interleave([u1r + tur, l1r + tlr, u1r - tur, l1r - tlr],
+                        stride, quarter)
+        xi = interleave([u1i + tui, l1i + tli, u1i - tui, l1i - tli],
+                        stride, quarter)
+        s += 2
+        s4 += 1
     return xr, xi
 
 
