@@ -16,6 +16,23 @@ def small_config(**kw):
     return SimConfig(map_size=N, **kw)
 
 
+def test_default_cascades_godot_seed_stream():
+    """godot_seeds=True draws the per-cascade spectrum seeds from the
+    bit-exact Godot RNG stream (water.gd:31, 68-69); pinned values so any
+    change to the pcg32 wiring is loud."""
+    p = default_cascades(godot_seeds=True)
+    assert np.asarray(p.spectrum_seed).tolist() == [
+        [6089, -7045], [8026, 4260], [-6627, 1309]]
+    # distinct stream from the default host RNG, same documented range
+    q = np.asarray(default_cascades().spectrum_seed)
+    assert (np.abs(q) <= 10000).all()
+    assert q.tolist() != np.asarray(p.spectrum_seed).tolist()
+    # godot-seeded params drive the sim like any other
+    cfg = small_config()
+    s, maps = step(cfg, init_state(cfg, p), p, 0.02)
+    assert bool(jnp.isfinite(maps.displacement).all())
+
+
 def test_init_state_shapes_and_time_offsets():
     cfg = small_config()
     params = default_cascades()
