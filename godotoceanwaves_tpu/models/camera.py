@@ -60,9 +60,10 @@ class FlyCamera:
         return self.position
 
     def render_kwargs(self) -> dict:
-        """Arguments for shading.render_ocean (which looks along +z yaw=0)."""
+        """Arguments for shading.render_ocean (same yaw/pitch conventions)."""
         return {
             "camera_pos": tuple(float(x) for x in self.position),
             "pitch_deg": float(np.rad2deg(self.pitch)),
+            "yaw_deg": float(np.rad2deg(self.yaw)),
             "fov_deg": self.fov_deg,
         }

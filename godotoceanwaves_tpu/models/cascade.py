@@ -192,8 +192,9 @@ class SimConfig:
     def resolved_fft_impl(self) -> str:
         if self.fft_impl != "auto":
             return self.fft_impl
-        platform = jax.default_backend()
-        if platform == "cpu":
+        if jax.default_backend() != "tpu":
+            # jnp.fft works everywhere but TPU; the Pallas/Mosaic kernels and
+            # the matmul-precision workaround are TPU-only concerns
             return "xla"
         # the Pallas kernels factor N = Q*128 and keep whole layers in VMEM
         # (~128 MB/core => N <= 1024); other sizes use the MXU matmul tier
@@ -234,4 +235,4 @@ class SimConfig:
             return False
         if self.fft_impl == "pallas":   # explicit request (tests/interpret)
             return True
-        return self.fft_impl == "auto" and jax.default_backend() != "cpu"
+        return self.fft_impl == "auto" and jax.default_backend() == "tpu"

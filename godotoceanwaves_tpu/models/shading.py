@@ -222,6 +222,7 @@ def render_ocean(
     height: int = 540,
     camera_pos=(0.0, 12.0, 0.0),
     pitch_deg: float = -12.0,
+    yaw_deg: float = 0.0,
     fov_deg: float = 70.0,
     light_dir=(0.3, 0.55, 0.9),
     **shade_kwargs,
@@ -238,9 +239,14 @@ def render_ocean(
     ys = ((0.5 - jnp.arange(height, dtype=jnp.float32) / height) * 2 * tan_half
           * (height / width))
     dirx, diry = jnp.meshgrid(xs, ys)
-    # camera looks toward +z, pitched
+    # camera looks toward +z at yaw=0, pitched, then yawed about +y
+    # (FlyCamera.basis convention: yaw=y maps +z forward to (-sin y, 0, cos y))
     cp, sp = jnp.cos(pitch), jnp.sin(pitch)
     d = jnp.stack([dirx, diry * cp + sp, -diry * sp + cp], axis=-1)
+    yaw = jnp.deg2rad(jnp.float32(yaw_deg))
+    cy, sy = jnp.cos(yaw), jnp.sin(yaw)
+    d = jnp.stack([cy * d[..., 0] - sy * d[..., 2], d[..., 1],
+                   sy * d[..., 0] + cy * d[..., 2]], axis=-1)
     d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
 
     t_hit = -cam[1] / d[..., 1]
@@ -294,6 +300,7 @@ def splat_spray(
     visible: jax.Array,        # (P,) bool
     camera_pos=(0.0, 12.0, 0.0),
     pitch_deg: float = -12.0,
+    yaw_deg: float = 0.0,
     fov_deg: float = 70.0,
     foam_color=DEFAULT_FOAM_COLOR,
     max_alpha: float = 0.666,
@@ -311,10 +318,13 @@ def splat_spray(
     tan_half = jnp.tan(jnp.deg2rad(jnp.float32(fov_deg)) / 2)
     v = positions - cam
     cp, sp = jnp.cos(pitch), jnp.sin(pitch)
-    # camera basis: forward f = (0, sin(pitch), cos(pitch)), up u = (0, cos, -sin)
-    f = jnp.stack([jnp.zeros(()), sp, cp])
-    u = jnp.stack([jnp.zeros(()), cp, -sp])
-    r = jnp.asarray([1.0, 0.0, 0.0], jnp.float32)
+    yaw = jnp.deg2rad(jnp.float32(yaw_deg))
+    cy, sy = jnp.cos(yaw), jnp.sin(yaw)
+    # camera basis (matches render_ocean / FlyCamera.basis): pitch about x,
+    # then yaw about y — yaw=0 gives f = (0, sin p, cos p)
+    f = jnp.stack([-sy * cp, sp, cy * cp])
+    u = jnp.stack([-sy * -sp, cp, cy * -sp])
+    r = jnp.stack([cy, jnp.zeros(()), sy]).astype(jnp.float32)
     z = v @ f
     x = v @ r
     y = v @ u

@@ -66,6 +66,10 @@ def exp_impulse(x, k):
 def _spawn(params: SprayParams, idx: jax.Array, cycle: jax.Array, now):
     """(Re)spawn: grid placement + staggered start (gdshader:45-66)."""
     p = params.num_particles
+    # t = floor(sqrt(P)) exactly as gdshader:47; for non-square P (incl. the
+    # scene's 32768) the reference's own grid is ragged — the last partial
+    # row's x-index exceeds t-1, overshooting the emitter box slightly.
+    # Preserved for parity (docs/PARITY.md).
     t = int(p ** 0.5)
     r0, r1, r2 = hash32_uvec2(idx + cycle * p, jnp.full_like(idx, 1) + cycle
                               + jnp.int32(params.seed))
@@ -127,6 +131,11 @@ def spray_step(params: SprayParams, state: SprayState, maps, map_scales,
     normal = jnp.stack([-grad[:, 0], jnp.ones(p), -grad[:, 1]], -1)
     normal = normal / jnp.linalg.norm(normal, axis=-1, keepdims=True)
     foam = grad[:, 2]
+    # Reference quirk preserved (sea_spray_particle.gdshader:87-90): GLSL
+    # mix() does not clamp, so normal_factor = mix(0.25, 1, min(t, 1)) is
+    # ALWAYS <= 1 (the upper-band check is vacuous) and >= 0 down to
+    # normal.y ~= 0.8967 — the effective activation band is wider than the
+    # [0.92, 0.99] the shader comment suggests. See docs/PARITY.md.
     normal_factor = 0.25 + 0.75 * jnp.minimum((normal[:, 1] - 0.92) / (0.99 - 0.92), 1.0)
     foam_factor = 0.25 + 0.75 * jnp.minimum((foam - 0.9) / (1.0 - 0.9), 1.0)
     activate = (normal_factor >= 0.0) & (normal_factor <= 1.0) & (foam > 0.9)

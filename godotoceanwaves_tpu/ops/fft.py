@@ -29,6 +29,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from . import grid
+
 
 def _factor(n: int) -> tuple[int, int]:
     """Split n = A*B with A, B as close to sqrt(n) as possible (powers of two)."""
@@ -104,10 +106,7 @@ def ifft2_packed(x: jax.Array, impl: str = "xla", fold_sign: bool = False) -> ja
         n = x.shape[-1]
         out = jnp.swapaxes(jnp.fft.ifft2(x, axes=(-2, -1)), -2, -1) * jnp.float32(n * n)
         if fold_sign:
-            ix = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
-            iy = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
-            sign = jnp.where((ix + iy) % 2 == 0, 1.0, -1.0).astype(out.dtype)
-            out = out * sign
+            out = out * grid.sign_shift(n).astype(out.dtype)
         return out
     y = idft_rows(x, impl, fold_sign)           # handles (-1)^x
     y = jnp.swapaxes(y, -2, -1)

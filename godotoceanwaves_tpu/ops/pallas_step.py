@@ -264,6 +264,7 @@ def _fused_call(h0, h0nc, foam, scalars, *, num_frames: int, depth: float,
                 g: float, map_dtype, frames_per_program: int | None = None):
     c, two, n, n2 = h0.shape
     assert two == 2 and n == n2 and n % LANES == 0, h0.shape
+    assert n & (n - 1) == 0, f"digit pass needs a power-of-two N, got {n}"
     assert num_frames >= 1
     multi = num_frames > 1
     fpp = 1 if not multi else (

@@ -147,6 +147,7 @@ def strip_cascade_step(h0, h0nc, foam, scalars, *, depth: float,
     """
     c, two, n, n2 = h0.shape
     assert two == 2 and n == n2 and n % LANES == 0, h0.shape
+    assert n & (n - 1) == 0, f"digit pass needs a power-of-two N, got {n}"
     q = n // LANES
     assert q <= LANES, f"sigma un-swap needs N <= {LANES * LANES}, got {n}"
     nt = n // LANES

@@ -69,6 +69,12 @@ def gaussian_pair(u0: jax.Array, u1: jax.Array) -> jax.Array:
     amplitude, which is how the spectrum stage consumes it).
     """
     two_pi = jnp.float32(2.0 * jnp.pi)
+    # Floor u0 away from 0: the hash emits u0 == 0 with p = 2^-31 per texel
+    # (final hash word 0 or 1), where the shader's log(0) would smear an inf
+    # amplitude across the whole cascade's maps after the IFFT. Bit parity is
+    # unchanged for every non-degenerate texel; the degenerate one gets the
+    # largest finite amplitude instead of inf.
+    u0 = jnp.maximum(u0, jnp.float32(1.1754944e-38))  # smallest normal fp32
     r = jnp.sqrt(jnp.float32(-2.0) * jnp.log(u0))
     theta = two_pi * u1
     return jax.lax.complex(r * jnp.cos(theta), r * jnp.sin(theta))

@@ -152,7 +152,7 @@ class LiveViewer:
         return (f"cascade {self.cascade + 1}/{o.num_cascades}  "
                 f"{name}={val:.2f}  map {o.config.map_size}^2  "
                 f"ups={o.updates_per_second:g}  "
-                f"{s.get('fps', 0.0):.1f} fps / {s.get('ms', 0.0):.1f} ms")
+                f"{s.get('fps', 0.0):.1f} fps / {s.get('ms_p50', 0.0):.1f} ms")
 
     def frame(self) -> str:
         t0 = time.perf_counter()

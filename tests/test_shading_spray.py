@@ -89,6 +89,25 @@ def test_render_ocean_image():
     assert img.std() > 0.01  # not a flat frame
 
 
+def test_render_ocean_yaw_turns_the_view():
+    """FlyCamera yaw reaches the renderer: yawing 180 deg faces away from the
+    sun, so the sky half of the frame must change; a 360 deg turn must not."""
+    ocean, maps = _maps()
+    scales = ocean.params.map_scales()
+    kw = dict(width=64, height=36, light_dir=(0.0, 0.4, 0.9))
+    img0 = np.asarray(shading.render_ocean(maps, scales, yaw_deg=0.0, **kw))
+    img180 = np.asarray(shading.render_ocean(maps, scales, yaw_deg=180.0, **kw))
+    img360 = np.asarray(shading.render_ocean(maps, scales, yaw_deg=360.0, **kw))
+    assert np.abs(img0 - img180).max() > 0.05
+    np.testing.assert_allclose(img0, img360, atol=1e-5)
+
+    from godotoceanwaves_tpu.models.camera import FlyCamera
+    cam = FlyCamera()
+    cam.look(300.0, 0.0)
+    assert "yaw_deg" in cam.render_kwargs()
+    assert abs(cam.render_kwargs()["yaw_deg"]) > 1.0
+
+
 def test_spray_lifecycle():
     ocean, maps = _maps()
     scales = ocean.params.map_scales()
@@ -163,4 +182,4 @@ def test_fly_camera_semantics():
     cam.look(0.0, 1e6)                       # pitch clamped
     assert abs(cam.pitch) < np.pi / 2
     kw = cam.render_kwargs()
-    assert set(kw) == {"camera_pos", "pitch_deg", "fov_deg"}
+    assert set(kw) == {"camera_pos", "pitch_deg", "yaw_deg", "fov_deg"}
