@@ -57,6 +57,9 @@ def main() -> None:
     ap.add_argument("--web", action="store_true",
                     help="browser viewer: live render + parameter panel")
     ap.add_argument("--port", type=int, default=8000, help="--web port")
+    ap.add_argument("--environment", action="store_true",
+                    help="apply the reference scene's fog/tonemap post "
+                         "(main.tscn:22-41) to rendered frames")
     ap.add_argument("--ambience", type=str, default=None,
                     help="write the wind-mixed procedural ambience loop "
                          "(WAV) for the current cascade stack")
@@ -117,7 +120,8 @@ def main() -> None:
     # tunnel relay makes eager chains seconds-per-frame)
     import jax
     render = jax.jit(lambda m, s: shading.render_ocean(
-        m, s, width=args.width, height=args.height))
+        m, s, width=args.width, height=args.height,
+        environment=args.environment))
     for i in range(args.frames):
         t0 = time.perf_counter()
         maps = ocean.update(dt) or maps

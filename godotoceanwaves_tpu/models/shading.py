@@ -225,9 +225,13 @@ def render_ocean(
     yaw_deg: float = 0.0,
     fov_deg: float = 70.0,
     light_dir=(0.3, 0.55, 0.9),
+    environment: bool = False,
     **shade_kwargs,
 ) -> jax.Array:
     """Offline perspective render of the water plane -> (H, W, 3) linear RGB.
+
+    environment=True applies the reference scene's fog/tonemap/adjustment
+    post (apply_environment, main.tscn:22-41).
 
     Rays from a pinhole camera intersect the y=0 plane (no displacement
     parallax — standard cheap preview); sky via a simple horizon gradient.
@@ -264,6 +268,49 @@ def render_ocean(
     rgb = shade(grad, disp[..., 1], -d, light, dist, **shade_kwargs)
 
     rgb = jnp.where(hits[..., None], rgb, sky_color(d, light))
+    if environment:
+        rgb = apply_environment(rgb, dist, hits)
+    return jnp.clip(rgb, 0.0, 1.0)
+
+
+FOG_LIGHT_COLOR = (0.272954, 0.419272, 0.484632)   # main.tscn:27
+
+
+def apply_environment(rgb: jax.Array, dist: jax.Array, hits=None, *,
+                      fog_depth_begin: float = 200.0,
+                      fog_depth_end: float = 350.0,
+                      fog_depth_curve: float = 0.25,
+                      fog_color=FOG_LIGHT_COLOR,
+                      brightness: float = 0.85,
+                      contrast: float = 1.07,
+                      saturation: float = 1.5,
+                      tonemap: bool = True,
+                      tonemap_white: float = 4.0) -> jax.Array:
+    """The reference scene's environment post (main.tscn:22-41) on linear RGB.
+
+    Depth fog: blend toward fog_light_color by
+    clamp((d - begin)/(end - begin))^depth_curve (begin 200, end 350,
+    curve 0.25); fog_sky_affect = 0, so pass `hits` to fog only water
+    pixels. Tonemap: the scene uses Filmic — here an extended-Reinhard
+    curve in LINEAR space (our output stage applies gamma separately,
+    where Hejl's gamma-baked form would double-encode). Adjustments:
+    brightness x0.85, contrast 1.07 about mid-gray, saturation 1.5
+    (main.tscn:38-41).
+    """
+    f = jnp.clip((dist - fog_depth_begin)
+                 / (fog_depth_end - fog_depth_begin), 0.0, 1.0)
+    f = f ** jnp.float32(fog_depth_curve)
+    if hits is not None:
+        f = jnp.where(hits, f, 0.0)
+    rgb = rgb + (jnp.asarray(fog_color, jnp.float32) - rgb) * f[..., None]
+    if tonemap:
+        w2 = jnp.float32(tonemap_white * tonemap_white)
+        rgb = rgb * (1.0 + rgb / w2) / (1.0 + rgb)
+    rgb = rgb * jnp.float32(brightness)
+    rgb = 0.5 + (rgb - 0.5) * jnp.float32(contrast)
+    luma = jnp.sum(rgb * jnp.asarray([0.2126, 0.7152, 0.0722], jnp.float32),
+                   axis=-1, keepdims=True)
+    rgb = luma + (rgb - luma) * jnp.float32(saturation)
     return jnp.clip(rgb, 0.0, 1.0)
 
 

@@ -108,6 +108,35 @@ def test_render_ocean_yaw_turns_the_view():
     assert abs(cam.render_kwargs()["yaw_deg"]) > 1.0
 
 
+def test_environment_post():
+    """Reference environment post (main.tscn:22-41): depth fog pulls distant
+    water toward the fog color, near water is untouched, sky is exempt."""
+    ocean, maps = _maps()
+    scales = ocean.params.map_scales()
+    img = shading.render_ocean(maps, scales, width=64, height=36)
+    env = shading.render_ocean(maps, scales, width=64, height=36,
+                               environment=True)
+    assert not np.allclose(np.asarray(img), np.asarray(env))
+    assert np.isfinite(np.asarray(env)).all()
+
+    fog = jnp.asarray(shading.FOG_LIGHT_COLOR)
+    rgb = jnp.full((3, 3), 0.8)
+    near = shading.apply_environment(rgb, jnp.full((3,), 10.0),
+                                     tonemap=False, brightness=1.0,
+                                     contrast=1.0, saturation=1.0)
+    np.testing.assert_allclose(np.asarray(near), 0.8, atol=1e-6)  # d < begin
+    far = shading.apply_environment(rgb, jnp.full((3,), 1000.0),
+                                    tonemap=False, brightness=1.0,
+                                    contrast=1.0, saturation=1.0)
+    np.testing.assert_allclose(np.asarray(far), np.broadcast_to(fog, (3, 3)),
+                               atol=1e-6)                         # d > end
+    sky = shading.apply_environment(rgb, jnp.full((3,), 1000.0),
+                                    hits=jnp.zeros(3, bool), tonemap=False,
+                                    brightness=1.0, contrast=1.0,
+                                    saturation=1.0)
+    np.testing.assert_allclose(np.asarray(sky), 0.8, atol=1e-6)   # sky exempt
+
+
 def test_spray_lifecycle():
     ocean, maps = _maps()
     scales = ocean.params.map_scales()
