@@ -153,8 +153,9 @@ class WebViewer:
     `run()` to block."""
 
     def __init__(self, ocean, fps: float = 12.0, width: int = 640,
-                 height: int = 360):
+                 height: int = 360, environment: bool = True):
         self.ocean = ocean
+        self.environment = environment
         self.fps = fps
         self.width = width
         self.height = height
@@ -176,7 +177,8 @@ class WebViewer:
 
         def _render(maps, scales):
             img = shading.render_ocean(maps, scales, width=self.width,
-                                       height=self.height)
+                                       height=self.height,
+                                       environment=self.environment)
             return (jnp.clip(img, 0.0, 1.0) ** (1 / 2.2) * 255).astype(jnp.uint8)
 
         self._render = jax.jit(_render)
