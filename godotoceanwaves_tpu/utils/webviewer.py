@@ -34,12 +34,21 @@ from .live import PARAM_STEPS, RESOLUTIONS
 from .observability import FrameStats
 
 
-def _png_bytes(arr: np.ndarray) -> bytes:
+def _frame_bytes(arr: np.ndarray) -> tuple[bytes, str]:
+    """Encode a frame for the wire. JPEG q85 is ~10x smaller than PNG —
+    decisive when the link is slow (the tunnel relay here moves ~5 MB/s,
+    so PNG capped the viewer near 2 fps). Falls back to PNG if the PIL
+    build lacks JPEG support."""
     from PIL import Image
 
     buf = io.BytesIO()
-    Image.fromarray(arr).save(buf, format="PNG")
-    return buf.getvalue()
+    try:
+        Image.fromarray(arr).save(buf, format="JPEG", quality=85)
+        return buf.getvalue(), "image/jpeg"
+    except Exception:
+        buf = io.BytesIO()
+        Image.fromarray(arr).save(buf, format="PNG")
+        return buf.getvalue(), "image/png"
 
 
 _PAGE = """<!doctype html>
@@ -161,7 +170,8 @@ class WebViewer:
         self.height = height
         self.stats = FrameStats()
         self._lock = threading.Lock()       # guards ocean + frame swap
-        self._png = _png_bytes(np.zeros((height, width, 3), np.uint8))
+        self._png, self._mime = _frame_bytes(
+            np.zeros((height, width, 3), np.uint8))
         self._frame_no = 0
         self._stop = threading.Event()
         self._server: ThreadingHTTPServer | None = None
@@ -195,9 +205,10 @@ class WebViewer:
             if maps is None:           # scheduler skipped the very first tick
                 self._stop.wait(dt)
                 continue
-            png = _png_bytes(np.asarray(self._render(maps, scales)))
+            png, mime = _frame_bytes(np.asarray(self._render(maps, scales)))
             with self._lock:
                 self._png = png
+                self._mime = mime
                 self._frame_no += 1
             took = time.perf_counter() - t0
             self.stats.record(took)
@@ -262,10 +273,10 @@ class WebViewer:
                         "fps": int(viewer.fps),
                     }
                     self._send(200, "text/html", page.encode())
-                elif path == "/frame.png":
+                elif path == "/frame.png":   # name kept; body may be JPEG
                     with viewer._lock:
-                        png = viewer._png
-                    self._send(200, "image/png", png)
+                        png, mime = viewer._png, viewer._mime
+                    self._send(200, mime, png)
                 elif path == "/state":
                     self._send(200, "application/json",
                                json.dumps(viewer._state()).encode())

@@ -51,13 +51,16 @@ def test_webviewer_serves_and_edits_parameters():
         deadline = time.time() + 60
         while time.time() < deadline:
             status, ctype, png = _get(port, "/frame.png")
-            assert status == 200 and ctype == "image/png"
+            assert status == 200 and ctype in ("image/jpeg", "image/png")
             state = json.loads(_get(port, "/state")[2])
             if state["frame"] >= 2:
                 break
             time.sleep(0.2)
         assert state["frame"] >= 2, "sim thread produced no frames"
-        assert png[:8] == b"\x89PNG\r\n\x1a\n"
+        if ctype == "image/png":
+            assert png[:8] == b"\x89PNG\r\n\x1a\n"
+        else:                       # JPEG SOI marker (10x smaller on the wire)
+            assert png[:2] == b"\xff\xd8"
 
         # bad requests are client errors, not crashes
         try:
