@@ -357,6 +357,9 @@ class Ocean:
             params = stack_cascades(params)
         self.config = SimConfig(map_size=map_size, **config_kwargs)
         self.params = params
+        # session RNG for runtime cascade re-seeding (water.gd:68-69's member
+        # rng, fixed seed 1234 — "This seed gives big waves!")
+        self._rng = np.random.RandomState(1234)
         self._time = 0.0
         self._next_update_time = 0.0
         self.updates_per_second = updates_per_second
@@ -410,6 +413,38 @@ class Ocean:
             if name in self._SPECTRUM_FIELDS:
                 self._dirty[index] = True
         self.params = self.params.replace(**new)
+
+    def set_cascades(self, params: CascadeParams | Sequence[CascadeParams],
+                     reseed: bool = True) -> None:
+        """Replace the whole cascade stack at runtime (add/remove cascades).
+
+        The analog of assigning the reference's `parameters` array
+        (water.gd:22-35, "Recreates all compute pipelines whenever a cascade
+        is added or removed!"): every cascade — existing and new — draws a
+        fresh spectrum seed from the session's RNG stream and restarts at
+        the anti-interference phase offset time = 120 + pi*i (water.gd:31-32);
+        spectra, foam, and map buffers rebuild. Pass reseed=False to keep
+        the provided seeds/times verbatim.
+        """
+        if isinstance(params, (list, tuple)):
+            params = stack_cascades(params)
+        c = params.num_cascades
+        if reseed:
+            seeds = self._rng.randint(-10000, 10001, (c, 2))
+            params = params.replace(
+                spectrum_seed=jnp.asarray(seeds, jnp.int32))
+        self.params = params
+        # init_state restarts every cascade at the anti-interference offset
+        # time_i = 120 + pi*i (water.gd:32)
+        self.state = init_state(self.config, params)
+        self._dirty = np.zeros(c, bool)
+        self._pending = []
+        n = self.config.map_size
+        dtype = self.config.resolved_map_dtype()
+        self.maps = OceanMaps(
+            displacement=jnp.zeros((c, 3, n, n), dtype),
+            normal=jnp.zeros((c, 4, n, n), dtype),
+        )
 
     def regenerate_dirty(self) -> None:
         """Re-run spectrum generation for DIRTY cascades only — the reference

@@ -73,6 +73,11 @@ _PAGE = """<!doctype html>
  <h3>ocean panel</h3>
  <div class="row"><label>cascade</label><select id="cascade"></select></div>
  <div id="params"></div>
+ <div class="row"><label>cascades</label>
+   <button id="subcasc">-</button><span class="val" id="ncasc"></span>
+   <button id="addcasc">+</button></div>
+ <div class="row"><label>water color</label><input id="wcolor" type="color"></div>
+ <div class="row"><label>foam color</label><input id="fcolor" type="color"></div>
  <div class="row"><label>map size</label><select id="mapsize"></select></div>
  <div class="row"><label>updates/s</label>
    <input id="ups" type="range" min="0" max="60" step="1">
@@ -118,6 +123,10 @@ async function refreshState() {
     ms.onchange = () => post({name: 'map_size', value: Number(ms.value)});
   }
   ms.value = state.map_size;
+  el('ncasc').textContent = state.cascades.length;
+  if (document.activeElement !== el('wcolor')) el('wcolor').value = hex(state.water_color);
+  if (document.activeElement !== el('fcolor')) el('fcolor').value = hex(state.foam_color);
+  if (cascade >= state.cascades.length) cascade = 0;
   el('ups').value = state.updates_per_second;
   el('upsv').textContent = state.updates_per_second;
   el('stats').textContent =
@@ -126,6 +135,19 @@ async function refreshState() {
   rebuildParams();
 }
 el('cascade').onchange = e => { cascade = Number(e.target.value); rebuildParams(); };
+function hex(rgb) {  // linear [0,1] -> sRGB #rrggbb
+  return '#' + rgb.map(v => Math.round(Math.pow(v, 1/2.2) * 255)
+    .toString(16).padStart(2, '0')).join('');
+}
+function rgb(hexstr) {  // #rrggbb -> sRGB [0,1]
+  return [1, 3, 5].map(i => parseInt(hexstr.slice(i, i + 2), 16) / 255);
+}
+el('wcolor').onchange = e => post({name: 'water_color', value: rgb(e.target.value)});
+el('fcolor').onchange = e => post({name: 'foam_color', value: rgb(e.target.value)});
+el('addcasc').onclick = () => post({name: 'num_cascades',
+                                    value: state.cascades.length + 1});
+el('subcasc').onclick = () => { cascade = 0;
+  post({name: 'num_cascades', value: state.cascades.length - 1}); };
 el('ups').onchange = e => post({name: 'updates_per_second',
                                 value: Number(e.target.value)});
 async function frameLoop() {
@@ -173,6 +195,10 @@ class WebViewer:
         self._png, self._mime = _frame_bytes(
             np.zeros((height, width, 3), np.uint8))
         self._frame_no = 0
+        # global colors (water.gd:14-18; the panel's color pickers) — traced
+        # render args, so edits do NOT retrace the jitted render
+        self._water_color = np.asarray(shading.DEFAULT_WATER_COLOR, np.float32)
+        self._foam_color = np.asarray(shading.DEFAULT_FOAM_COLOR, np.float32)
         self._stop = threading.Event()
         self._server: ThreadingHTTPServer | None = None
         self._threads: list[threading.Thread] = []
@@ -185,10 +211,12 @@ class WebViewer:
         import jax
         import jax.numpy as jnp
 
-        def _render(maps, scales):
+        def _render(maps, scales, water_color, foam_color):
             img = shading.render_ocean(maps, scales, width=self.width,
                                        height=self.height,
-                                       environment=self.environment)
+                                       environment=self.environment,
+                                       water_color=water_color,
+                                       foam_color=foam_color)
             return (jnp.clip(img, 0.0, 1.0) ** (1 / 2.2) * 255).astype(jnp.uint8)
 
         self._render = jax.jit(_render)
@@ -202,10 +230,12 @@ class WebViewer:
             with self._lock:
                 maps = self.ocean.update(dt) or maps
                 scales = self.ocean.params.map_scales()
+                wc, fc = self._water_color, self._foam_color
             if maps is None:           # scheduler skipped the very first tick
                 self._stop.wait(dt)
                 continue
-            png, mime = _frame_bytes(np.asarray(self._render(maps, scales)))
+            png, mime = _frame_bytes(np.asarray(self._render(maps, scales,
+                                                             wc, fc)))
             with self._lock:
                 self._png = png
                 self._mime = mime
@@ -231,6 +261,8 @@ class WebViewer:
                 "map_size": self.ocean.config.map_size,
                 "resolutions": list(RESOLUTIONS),
                 "updates_per_second": self.ocean.updates_per_second,
+                "water_color": [float(v) for v in self._water_color],
+                "foam_color": [float(v) for v in self._foam_color],
                 "fps": s["fps"],
                 "ms_frame": s["ms_mean"],
                 "frame": self._frame_no,
@@ -242,6 +274,22 @@ class WebViewer:
         with self._lock:
             if name == "map_size":
                 self.ocean.resize(int(value))
+            elif name in ("water_color", "foam_color"):
+                # page sends sRGB [r,g,b] in [0,1]; shade() wants linear
+                # (the reference converts too: water.gd srgb_to_linear)
+                lin = np.clip(np.asarray(value, np.float32), 0, 1) ** 2.2
+                setattr(self, f"_{name}", lin)
+            elif name == "num_cascades":
+                from ..models.cascade import CascadeParams
+                want = max(1, min(8, int(value)))
+                have = self.ocean.num_cascades
+                p = self.ocean.params
+                import jax
+                stacks = [jax.tree.map(lambda x: x[i], p)
+                          for i in range(min(want, have))]
+                while len(stacks) < want:      # append defaults (inspector add)
+                    stacks.append(CascadeParams.create())
+                self.ocean.set_cascades(stacks)
             elif name == "updates_per_second":
                 self.ocean.updates_per_second = float(value)
             elif name in PARAM_RANGES:

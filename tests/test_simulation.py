@@ -16,6 +16,42 @@ def small_config(**kw):
     return SimConfig(map_size=N, **kw)
 
 
+def test_runtime_cascade_add_remove():
+    """water.gd:22-35 semantics: assigning the cascade array re-seeds every
+    cascade from the session RNG, resets time offsets to 120 + pi*i, and
+    rebuilds the pipeline for the new cascade count."""
+    from godotoceanwaves_tpu import CascadeParams, Ocean
+
+    ocean = Ocean(map_size=N, updates_per_second=0)
+    assert ocean.num_cascades == 3
+    maps3 = ocean.update(0.02)
+    assert maps3.displacement.shape[0] == 3
+
+    # grow to 4 cascades mid-session
+    four = [CascadeParams.create(tile_length=L, wind_speed=W)
+            for L, W in [(88.0, 10.0), (57.0, 5.0), (16.0, 20.0), (200.0, 15.0)]]
+    ocean.set_cascades(four)
+    assert ocean.num_cascades == 4
+    np.testing.assert_allclose(np.asarray(ocean.state.time),
+                               120.0 + np.pi * np.arange(4), rtol=1e-6)
+    seeds4 = np.asarray(ocean.params.spectrum_seed).copy()
+    assert (np.abs(seeds4) <= 10000).all()
+    maps4 = ocean.update(0.02)
+    assert maps4.displacement.shape[0] == 4
+    assert bool(jnp.isfinite(maps4.displacement).all())
+
+    # shrink to 1; the RNG stream continues (fresh seeds, not a repeat)
+    ocean.set_cascades([CascadeParams.create(tile_length=100.0, wind_speed=12.0)])
+    assert ocean.num_cascades == 1
+    assert ocean.update(0.02).displacement.shape[0] == 1
+    assert np.asarray(ocean.params.spectrum_seed).tolist() != seeds4[:1].tolist()
+
+    # reseed=False keeps caller seeds/times verbatim
+    keep = CascadeParams.create(tile_length=50.0, spectrum_seed=(7, -3))
+    ocean.set_cascades([keep], reseed=False)
+    assert np.asarray(ocean.params.spectrum_seed).tolist() == [[7, -3]]
+
+
 def test_default_cascades_godot_seed_stream():
     """godot_seeds=True draws the per-cascade spectrum seeds from the
     bit-exact Godot RNG stream (water.gd:31, 68-69); pinned values so any

@@ -62,6 +62,20 @@ def test_webviewer_serves_and_edits_parameters():
         else:                       # JPEG SOI marker (10x smaller on the wire)
             assert png[:2] == b"\xff\xd8"
 
+        # global color pickers (water.gd:14-18; sRGB in -> linear stored)
+        assert _post(port, {"name": "water_color", "value": [1.0, 0.5, 0.0]}) == 200
+        state = json.loads(_get(port, "/state")[2])
+        np.testing.assert_allclose(state["water_color"],
+                                   np.array([1.0, 0.5, 0.0]) ** 2.2, atol=1e-5)
+
+        # runtime cascade add/remove through the panel (water.gd:22-35)
+        assert _post(port, {"name": "num_cascades", "value": 4}) == 200
+        assert ocean.num_cascades == 4
+        state = json.loads(_get(port, "/state")[2])
+        assert len(state["cascades"]) == 4
+        assert _post(port, {"name": "num_cascades", "value": 2}) == 200
+        assert ocean.num_cascades == 2
+
         # bad requests are client errors, not crashes
         try:
             _post(port, {"name": "nope", "value": 1})
