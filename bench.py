@@ -149,6 +149,18 @@ def main() -> None:
         f"min={r4['min']:.3f}ms max={r4['max']:.3f}ms checksum={r4['checksum']:.4e}",
         file=sys.stderr,
     )
+    print(json.dumps({
+        "metric": "4-cascade 1024^2 spectrum+IFFT+maps update (bf16 maps, fp32 FFT core)",
+        "value": round(r4["p50"], 4),
+        "unit": "ms/frame",
+        "vs_baseline": round(TARGET_MS / r4["p50"], 4),
+        "p99_ms": round(r4["p99"], 4),
+        "min_ms": round(r4["min"], 4),
+    }))
+    sys.stdout.flush()
+    # The config-5 leg runs AFTER the driver-facing JSON line is already on
+    # stdout: a congested remote compiler can push its subprocess past any
+    # external timeout, and the round metric must survive that.
     try:
         # fresh process: isolates config 5 from config 4's allocator state
         # (the tunnel backend pages HBM to host; see bench_config5 docstring)
@@ -156,7 +168,7 @@ def main() -> None:
         import subprocess
         out = subprocess.run(
             [sys.executable, str(pathlib.Path(__file__).resolve()), "--config5"],
-            capture_output=True, text=True, timeout=900, check=True)
+            capture_output=True, text=True, timeout=2400, check=True)
         r5 = json.loads(out.stdout.strip().splitlines()[-1])
         print(
             f"config5: 2048^2 dual-spectra ({r5['fft']} tier) "
@@ -167,14 +179,6 @@ def main() -> None:
     except Exception as e:  # config-5 is informational; never fail the bench
         print(f"config5 bench failed: {e!r}", file=sys.stderr)
 
-    print(json.dumps({
-        "metric": "4-cascade 1024^2 spectrum+IFFT+maps update (bf16 maps, fp32 FFT core)",
-        "value": round(r4["p50"], 4),
-        "unit": "ms/frame",
-        "vs_baseline": round(TARGET_MS / r4["p50"], 4),
-        "p99_ms": round(r4["p99"], 4),
-        "min_ms": round(r4["min"], 4),
-    }))
 
 
 if __name__ == "__main__":
