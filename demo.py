@@ -11,7 +11,8 @@ Examples:
   python demo.py --map-size 512 --wind-speed 25 --panel
   python demo.py --live                                 # interactive viewer:
       live ANSI ocean view; keys edit every cascade parameter at runtime
-      (1-9 cascade, tab param, +/- adjust, r resolution, u/U update rate, q)
+      (1-9 cascade, tab param, +/- adjust, C/c add/remove cascade, r resolution,
+      u/U update rate, q)
   python demo.py --web --port 8000                      # browser viewer:
       live shaded render + slider panel for every parameter at
       http://localhost:8000 (utils/webviewer.py)

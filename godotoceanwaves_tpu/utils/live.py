@@ -140,6 +140,21 @@ class LiveViewer:
             o.updates_per_second = max(0.0, o.updates_per_second - 5.0)
         elif ch == "U":
             o.updates_per_second = min(60.0, o.updates_per_second + 5.0)
+        elif ch in "cC":
+            # add ('C') / remove ('c') a cascade at runtime (water.gd:22-35;
+            # same path as the web panel's +/- buttons)
+            import jax
+
+            from ..models.cascade import CascadeParams
+            want = o.num_cascades + (1 if ch == "C" else -1)
+            if 1 <= want <= 8:
+                stacks = [jax.tree.map(lambda x: x[i], o.params)
+                          for i in range(min(want, o.num_cascades))]
+                while len(stacks) < want:
+                    stacks.append(CascadeParams.create())
+                o.set_cascades(stacks)
+                self.cascade = min(self.cascade, want - 1)
+                self._maps = None
 
     # --- frame loop ------------------------------------------------------
 

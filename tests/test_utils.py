@@ -210,7 +210,7 @@ def test_live_viewer_runtime_editing():
     ocean = Ocean(map_size=32, updates_per_second=0)
     # scripted keystrokes: select cascade 2, bump wind twice, cycle to
     # wind_direction and lower it, raise update rate, then quit
-    script = iter(["2", "+", "+", "\t", "-", "U", "", "q"])
+    script = iter(["2", "+", "+", "\t", "-", "U", "C", "c", "", "q"])
     out = io.StringIO()
     viewer = LiveViewer(ocean, fps=30.0, cols=24, rows=8,
                         input_fn=lambda: next(script, "q"), output=out)
