@@ -424,7 +424,9 @@ class Ocean:
         fresh spectrum seed from the session's RNG stream and restarts at
         the anti-interference phase offset time = 120 + pi*i (water.gd:31-32);
         spectra, foam, and map buffers rebuild. Pass reseed=False to keep
-        the provided seeds/times verbatim.
+        the provided spectrum seeds verbatim (times still restart at the
+        phase offsets — the reference's setter always resets them too,
+        water.gd:32).
         """
         if isinstance(params, (list, tuple)):
             params = stack_cascades(params)

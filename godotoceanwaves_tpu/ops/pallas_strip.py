@@ -131,7 +131,7 @@ def _pass2_kernel(scal_ref, wt_ref, radix_ref, t4l_ref,
 
 def strip_cascade_step(h0, h0nc, foam, scalars, *, depth: float,
                        g: float = 9.81, map_dtype=jnp.bfloat16,
-                       buffer_count: int = 2):
+                       buffer_count: int | None = None):
     """Full fused-semantics step via the two strip kernels.
 
     h0/h0nc: (C, 2, N, N) fp32 planes; foam: (C, N, N) fp32; scalars as
@@ -141,9 +141,10 @@ def strip_cascade_step(h0, h0nc, foam, scalars, *, depth: float,
     kernel.
 
     buffer_count pipelines the sig(B) exchange windows (8 MB each at 2048):
-    2 overlaps each program's DMA with the next one's compute. (A previous
-    `tiles_per_program` knob batched strips per program — measured NEUTRAL
-    at 1/2/4 and removed; window pipelining hides the per-program machinery.)
+    2 overlaps each program's DMA with the next one's compute; None (the
+    default) picks 2, except 1 at N >= 8192 where double-buffered windows
+    blow the VMEM budget (see below). An explicit value is honored when it
+    fits and warned about + coerced when it cannot.
     """
     c, two, n, n2 = h0.shape
     assert two == 2 and n == n2 and n % LANES == 0, h0.shape
@@ -153,9 +154,16 @@ def strip_cascade_step(h0, h0nc, foam, scalars, *, depth: float,
     nt = n // LANES
     # At N=8192 the exchange window is 32 MB and the Q=64 strip kernels spill
     # ~58 MB of registers: double-buffered windows blow the 128 MB VMEM
-    # budget (measured OOM: 161.9 MB). Fall back to single buffering for
-    # every big window there — slower, but the design bound stays runnable.
-    if n >= 8192:
+    # budget (measured OOM: 161.9 MB). Single buffering is the only option
+    # there — slower, but the design bound stays runnable.
+    if buffer_count is None:
+        buffer_count = 1 if n >= 8192 else 2
+    elif n >= 8192 and buffer_count > 1:
+        import warnings
+        warnings.warn(
+            f"strip_cascade_step: buffer_count={buffer_count} exceeds the "
+            f"VMEM budget at N={n} (measured OOM at 2); coercing to 1",
+            stacklevel=2)
         buffer_count = 1
     wt = jnp.asarray(np.stack([np.asarray(a).T.copy()
                                for a in pf._w128(n == LANES)]))

@@ -12,6 +12,7 @@ equivalents here:
 from __future__ import annotations
 
 import collections
+import threading
 import time
 from typing import Any
 
@@ -19,31 +20,42 @@ import numpy as np
 
 
 class FrameStats:
-    """Rolling window of frame/update durations (seconds)."""
+    """Rolling window of frame/update durations (seconds).
+
+    Thread-safe: viewers record() from a sim thread while HTTP handlers call
+    summary(); the internal lock keeps the deque from mutating mid-iteration.
+    """
 
     def __init__(self, window: int = 120):
         self._durations = collections.deque(maxlen=window)
         self._last = None
+        self._lock = threading.Lock()
 
     def tick(self) -> None:
         now = time.perf_counter()
-        if self._last is not None:
-            self._durations.append(now - self._last)
-        self._last = now
+        with self._lock:
+            if self._last is not None:
+                self._durations.append(now - self._last)
+            self._last = now
 
     def record(self, seconds: float) -> None:
-        self._durations.append(seconds)
+        with self._lock:
+            self._durations.append(seconds)
 
     @property
     def fps(self) -> float:
-        if not self._durations:
+        with self._lock:
+            snap = list(self._durations)
+        if not snap:
             return 0.0
-        return 1.0 / max(1e-9, float(np.mean(self._durations)))
+        return 1.0 / max(1e-9, float(np.mean(snap)))
 
     def summary(self) -> dict[str, float]:
-        if not self._durations:
+        with self._lock:
+            snap = list(self._durations)
+        if not snap:
             return {"fps": 0.0, "ms_mean": 0.0, "ms_p50": 0.0, "ms_p99": 0.0}
-        ms = np.asarray(self._durations) * 1e3
+        ms = np.asarray(snap) * 1e3
         return {
             "fps": self.fps,
             "ms_mean": float(ms.mean()),

@@ -191,10 +191,16 @@ class WebViewer:
         self.width = width
         self.height = height
         self.stats = FrameStats()
-        self._lock = threading.Lock()       # guards ocean + frame swap
+        # Two locks so the panel stays responsive while device work runs:
+        # _ocean_lock serializes Ocean access (sim step vs /set edits);
+        # _frame_lock guards only the encoded-frame/state-cache swap, so
+        # GET /frame.png and /state never wait on a cold compile.
+        self._ocean_lock = threading.Lock()
+        self._frame_lock = threading.Lock()
         self._png, self._mime = _frame_bytes(
             np.zeros((height, width, 3), np.uint8))
         self._frame_no = 0
+        self._state_cache: dict | None = None
         # global colors (water.gd:14-18; the panel's color pickers) — traced
         # render args, so edits do NOT retrace the jitted render
         self._water_color = np.asarray(shading.DEFAULT_WATER_COLOR, np.float32)
@@ -227,51 +233,62 @@ class WebViewer:
         maps = None
         while not self._stop.is_set():
             t0 = time.perf_counter()
-            with self._lock:
+            with self._ocean_lock:
                 maps = self.ocean.update(dt) or maps
                 scales = self.ocean.params.map_scales()
                 wc, fc = self._water_color, self._foam_color
+                snap = self._snapshot_ocean()
             if maps is None:           # scheduler skipped the very first tick
                 self._stop.wait(dt)
                 continue
             png, mime = _frame_bytes(np.asarray(self._render(maps, scales,
                                                              wc, fc)))
-            with self._lock:
+            took = time.perf_counter() - t0
+            self.stats.record(took)
+            with self._frame_lock:
                 self._png = png
                 self._mime = mime
                 self._frame_no += 1
-            took = time.perf_counter() - t0
-            self.stats.record(took)
+                self._state_cache = snap
             self._stop.wait(max(0.0, dt - took))
 
     # --- http --------------------------------------------------------------
+    def _snapshot_ocean(self) -> dict:
+        """Ocean-derived part of /state; call with _ocean_lock held."""
+        p = self.ocean.params
+        cascades = []
+        for i in range(p.num_cascades):
+            row = {}
+            for name in PARAM_RANGES:
+                v = np.asarray(getattr(p, name)[i])
+                row[name] = float(v[0]) if v.ndim else float(v)
+            cascades.append(row)
+        return {
+            "cascades": cascades,
+            "map_size": self.ocean.config.map_size,
+            "resolutions": list(RESOLUTIONS),
+            "updates_per_second": self.ocean.updates_per_second,
+            "water_color": [float(v) for v in self._water_color],
+            "foam_color": [float(v) for v in self._foam_color],
+        }
+
     def _state(self) -> dict:
-        with self._lock:
-            p = self.ocean.params
-            cascades = []
-            for i in range(p.num_cascades):
-                row = {}
-                for name in PARAM_RANGES:
-                    v = np.asarray(getattr(p, name)[i])
-                    row[name] = float(v[0]) if v.ndim else float(v)
-                cascades.append(row)
-            s = self.stats.summary()
-            return {
-                "cascades": cascades,
-                "map_size": self.ocean.config.map_size,
-                "resolutions": list(RESOLUTIONS),
-                "updates_per_second": self.ocean.updates_per_second,
-                "water_color": [float(v) for v in self._water_color],
-                "foam_color": [float(v) for v in self._foam_color],
-                "fps": s["fps"],
-                "ms_frame": s["ms_mean"],
-                "frame": self._frame_no,
-            }
+        # Served from the cache refreshed by the sim thread / _apply so a
+        # long device step (cold compile, resize) never blocks the panel.
+        with self._frame_lock:
+            snap = self._state_cache
+            frame_no = self._frame_no
+        if snap is None:
+            with self._ocean_lock:
+                snap = self._snapshot_ocean()
+        s = self.stats.summary()
+        return {**snap, "fps": s["fps"], "ms_frame": s["ms_mean"],
+                "frame": frame_no}
 
     def _apply(self, req: dict) -> None:
         name = req["name"]
         value = req["value"]
-        with self._lock:
+        with self._ocean_lock:
             if name == "map_size":
                 self.ocean.resize(int(value))
             elif name in ("water_color", "foam_color"):
@@ -297,6 +314,9 @@ class WebViewer:
                                        **{name: float(value)})
             else:
                 raise KeyError(name)
+            snap = self._snapshot_ocean()
+        with self._frame_lock:
+            self._state_cache = snap
 
     def _handler(self):
         viewer = self
@@ -322,7 +342,7 @@ class WebViewer:
                     }
                     self._send(200, "text/html", page.encode())
                 elif path == "/frame.png":   # name kept; body may be JPEG
-                    with viewer._lock:
+                    with viewer._frame_lock:
                         png, mime = viewer._png, viewer._mime
                     self._send(200, mime, png)
                 elif path == "/state":
