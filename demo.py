@@ -67,13 +67,15 @@ def main() -> None:
     args = ap.parse_args()
 
     if args.ambience:
-        # host-only: the mix law needs only the cascade wind speeds, so use
-        # the scene defaults (main.tscn:43-83) as plain NumPy — constructing
+        # host-only: the mix law needs only the cascade wind speeds, so read
+        # them from the scene source of truth (cascade.DEFAULT_SCENE, the
+        # dicts default_cascades() builds from) as plain NumPy — constructing
         # jnp params (let alone an Ocean) would block on device/backend init
         import types
 
+        from godotoceanwaves_tpu.models.cascade import DEFAULT_SCENE
         from godotoceanwaves_tpu.utils import audio
-        ws = np.array([10.0, 5.0, 20.0], np.float32)   # default_cascades()
+        ws = np.array([c["wind_speed"] for c in DEFAULT_SCENE], np.float32)
         if args.wind_speed is not None:
             ws[0] = args.wind_speed
         params = types.SimpleNamespace(wind_speed=ws)

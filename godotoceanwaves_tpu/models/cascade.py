@@ -102,8 +102,25 @@ def stack_cascades(cascades: Sequence[CascadeParams]) -> CascadeParams:
     return jax.tree.map(lambda *xs: jnp.stack(xs), *cascades)
 
 
+# The reference demo scene's 3 cascades (main.tscn:43-83), as plain host
+# dicts: importable without touching a JAX backend (the ambience path in
+# demo.py reads wind speeds from here, device-free), and the single source
+# default_cascades() builds from.
+DEFAULT_SCENE: tuple[dict, ...] = (
+    dict(tile_length=(88.0, 88.0), displacement_scale=1.0, normal_scale=1.0,
+         wind_speed=10.0, wind_direction=20.0, fetch_length=150.0, swell=0.8,
+         spread=0.2, detail=1.0, whitecap=0.5, foam_amount=8.0),
+    dict(tile_length=(57.0, 57.0), displacement_scale=0.75, normal_scale=1.0,
+         wind_speed=5.0, wind_direction=15.0, fetch_length=150.0, swell=0.8,
+         spread=0.4, detail=1.0, whitecap=0.5, foam_amount=0.0),
+    dict(tile_length=(16.0, 16.0), displacement_scale=0.0, normal_scale=0.25,
+         wind_speed=20.0, wind_direction=20.0, fetch_length=550.0, swell=0.8,
+         spread=0.4, detail=1.0, whitecap=0.25, foam_amount=3.0),
+)
+
+
 def default_cascades(seed: int = 1234, godot_seeds: bool = False) -> CascadeParams:
-    """The reference demo scene's 3 cascades (main.tscn:43-83).
+    """The reference demo scene's 3 cascades (main.tscn:43-83, DEFAULT_SCENE).
 
     Per-cascade spectrum seeds are drawn from a host RNG fixed like the
     orchestrator's (water.gd:68-69, "This seed gives big waves!") in the same
@@ -120,19 +137,9 @@ def default_cascades(seed: int = 1234, godot_seeds: bool = False) -> CascadePara
     else:
         rng = np.random.RandomState(seed)
         seeds = [tuple(int(v) for v in rng.randint(-10000, 10001, 2)) for _ in range(3)]
-    scene = [
-        dict(tile_length=(88.0, 88.0), displacement_scale=1.0, normal_scale=1.0,
-             wind_speed=10.0, wind_direction=20.0, fetch_length=150.0, swell=0.8,
-             spread=0.2, detail=1.0, whitecap=0.5, foam_amount=8.0),
-        dict(tile_length=(57.0, 57.0), displacement_scale=0.75, normal_scale=1.0,
-             wind_speed=5.0, wind_direction=15.0, fetch_length=150.0, swell=0.8,
-             spread=0.4, detail=1.0, whitecap=0.5, foam_amount=0.0),
-        dict(tile_length=(16.0, 16.0), displacement_scale=0.0, normal_scale=0.25,
-             wind_speed=20.0, wind_direction=20.0, fetch_length=550.0, swell=0.8,
-             spread=0.4, detail=1.0, whitecap=0.25, foam_amount=3.0),
-    ]
     return stack_cascades(
-        [CascadeParams.create(spectrum_seed=s, **kw) for s, kw in zip(seeds, scene)]
+        [CascadeParams.create(spectrum_seed=s, **kw)
+         for s, kw in zip(seeds, DEFAULT_SCENE)]
     )
 
 

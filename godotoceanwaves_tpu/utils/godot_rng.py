@@ -18,7 +18,9 @@ core/math/random_pcg.{h,cpp}:
 The pcg32 core is validated against the canonical pcg-c-basic check vectors
 (srandom(42, 54) round 1) in tests/test_rng.py, so seed semantics and the
 output permutation are pinned bit-exactly; the Godot-specific wiring above is
-transcribed from the Godot 4.x sources cited per method.
+transcribed from the Godot 4.x sources cited per method and cross-validated
+against an independent C transcription (tests/godot_rng_twin.c) that pins
+the seed-1234 randi_range stream with literal values.
 """
 from __future__ import annotations
 

@@ -41,6 +41,41 @@ def test_gaussian_parity_and_moments():
     assert abs(g.real.std() - 1.0) < 0.01 and abs(g.imag.std() - 1.0) < 0.01
 
 
+def test_godot_rng_cross_validated_against_c_twin():
+    """The Godot RNG wiring (srandom seed protocol + boundedrand rejection +
+    randi_range offsets) must agree with tests/godot_rng_twin.c — an
+    independent C transcription of pcg-c-basic + random_pcg.cpp. The twin
+    also re-emits the published pcg-c-basic check vectors, anchoring both
+    implementations to the canonical generator; pinned literals make any
+    drift in either transcription loud (water.gd:31, 68-69)."""
+    import pathlib
+    import subprocess
+    import tempfile
+
+    from godotoceanwaves_tpu.utils.godot_rng import GodotRNG, Pcg32
+
+    src = pathlib.Path(__file__).with_name("godot_rng_twin.c")
+    with tempfile.TemporaryDirectory() as td:
+        exe = pathlib.Path(td) / "rng_twin"
+        subprocess.run(["g++", "-O2", "-o", str(exe), str(src)],
+                       check=True, capture_output=True)
+        out = subprocess.run([str(exe)], check=True, capture_output=True,
+                             text=True).stdout.splitlines()
+    canonical = [int(v, 16) for v in out[0].split()]
+    stream = [int(v) for v in out[1].split()]
+
+    # pcg-c-basic "round 1" check vectors, srandom(42, 54)
+    assert canonical == [0xA15C02B7, 0x7B47F409, 0xBA1D3330,
+                         0x83D2F293, 0xBFA4784B, 0xCBED606E]
+    core = Pcg32(42, 54)
+    assert [core.random() for _ in range(6)] == canonical
+
+    # the water.gd seed-1234 randi_range stream, pinned from the C twin
+    assert stream == [6089, -7045, 8026, 4260, -6627, 1309]
+    g = GodotRNG(1234)
+    assert [g.randi_range(-10000, 10000) for _ in range(6)] == stream
+
+
 def test_hash32_spray_parity():
     px = np.array([0, 3, 1000, 32767, -5], np.int64)
     py = np.array([1, 9, 2000, 12345, 17], np.int64)

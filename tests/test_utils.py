@@ -150,6 +150,27 @@ def test_audio_mix_law():
     assert o > w
 
 
+def test_demo_ambience_tracks_scene_stack():
+    """The demo's device-free ambience path must mix with the SAME gains as
+    ambience_gains(default_cascades()) — DEFAULT_SCENE is the single source
+    the stack builds from, so the host-only shortcut can't drift
+    (main.gd:39-44 reads the live parameter array)."""
+    import types
+
+    import numpy as np
+
+    from godotoceanwaves_tpu.models import default_cascades
+    from godotoceanwaves_tpu.models.cascade import DEFAULT_SCENE
+    from godotoceanwaves_tpu.utils import audio
+
+    ws = np.array([c["wind_speed"] for c in DEFAULT_SCENE], np.float32)
+    host = types.SimpleNamespace(wind_speed=ws)
+    assert audio.ambience_gains(host) == audio.ambience_gains(default_cascades())
+    # and the stack itself is built from the same dicts
+    np.testing.assert_array_equal(
+        np.asarray(default_cascades().wind_speed), ws)
+
+
 def test_audio_procedural_loops(tmp_path):
     """Procedural stand-ins for ocean_loop.wav / wind_loop.wav (C20)."""
     import wave as wave_mod
