@@ -120,11 +120,12 @@ def main() -> None:
     scales = ocean.params.map_scales()
     now = 0.0
     # jitted render: one dispatch/frame instead of ~100 eager ones (the
-    # tunnel relay makes eager chains seconds-per-frame)
+    # tunnel relay makes eager chains seconds-per-frame); the session's
+    # global colors (water.gd:14-18) ride as traced args
     import jax
-    render = jax.jit(lambda m, s: shading.render_ocean(
+    render = jax.jit(lambda m, s, wc, fc: shading.render_ocean(
         m, s, width=args.width, height=args.height,
-        environment=args.environment))
+        environment=args.environment, water_color=wc, foam_color=fc))
     for i in range(args.frames):
         t0 = time.perf_counter()
         maps = ocean.update(dt) or maps
@@ -132,10 +133,11 @@ def main() -> None:
         if spray_state is not None:
             spray_state, attrs = spray.spray_step(
                 spray_params, spray_state, maps, scales, now)
-        img = render(maps, scales)
+        img = render(maps, scales, ocean.water_color, ocean.foam_color)
         if attrs is not None:
             img = shading.splat_spray(img, attrs["position"], attrs["scale"],
-                                      attrs["dissolve"], attrs["visible"])
+                                      attrs["dissolve"], attrs["visible"],
+                                      foam_color=ocean.foam_color)
         arr = (np.asarray(img) ** (1 / 2.2) * 255).astype(np.uint8)
         frames.append(arr)
         stats.record(time.perf_counter() - t0)

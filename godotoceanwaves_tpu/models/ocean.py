@@ -357,6 +357,14 @@ class Ocean:
             params = stack_cascades(params)
         self.config = SimConfig(map_size=map_size, **config_kwargs)
         self.params = params
+        # Global water/foam colors (water.gd:14-18): the reference holds them
+        # as PROJECT-WIDE shader globals every material reads
+        # (project.godot:60-81); here the session owns the single copy and
+        # every render surface (demo, ANSI viewer, web panel) consumes it.
+        # Stored linear RGB; pass as traced args so edits never retrace.
+        from . import shading
+        self.water_color = np.asarray(shading.DEFAULT_WATER_COLOR, np.float32)
+        self.foam_color = np.asarray(shading.DEFAULT_FOAM_COLOR, np.float32)
         # session RNG for runtime cascade re-seeding (water.gd:68-69's member
         # rng, fixed seed 1234 — "This seed gives big waves!")
         self._rng = np.random.RandomState(1234)
@@ -559,6 +567,8 @@ class Ocean:
             "next_update_time": self._next_update_time,
             "pending": list(self._pending),
             "round_dt": self._round_dt,
+            "water_color": [float(v) for v in self.water_color],
+            "foam_color": [float(v) for v in self.foam_color],
         }
 
     def restore(self, snapshot: dict[str, Any]) -> None:
@@ -580,6 +590,10 @@ class Ocean:
         self._next_update_time = snapshot["next_update_time"]
         self._pending = list(snapshot.get("pending", []))
         self._round_dt = snapshot.get("round_dt", 0.0)
+        if "water_color" in snapshot:
+            self.water_color = np.asarray(snapshot["water_color"], np.float32)
+        if "foam_color" in snapshot:
+            self.foam_color = np.asarray(snapshot["foam_color"], np.float32)
         self._dirty[:] = False
         c, n = self.num_cascades, self.config.map_size
         dtype = self.config.resolved_map_dtype()

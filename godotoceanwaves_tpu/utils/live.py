@@ -57,18 +57,29 @@ def _sample_field(maps, scales, extent: float, cols: int, rows: int):
 _sample_field_jit = jax.jit(_sample_field, static_argnums=(2, 3, 4))
 
 
-def ansi_field(height: np.ndarray, foam: np.ndarray) -> str:
+def ansi_field(height: np.ndarray, foam: np.ndarray,
+               water_color=None, foam_color=None) -> str:
     """Truecolor half-block rendering: 2 field rows per text line.
 
-    Water colored by height (deep blue -> cyan), foam whitens toward the
-    reference's foam lerp (water.gdshader:87).
+    Water tinted by the session's global water color, brightened with
+    height; foam lerps toward the global foam color — the same two shader
+    globals every reference material reads (water.gd:14-18,
+    project.godot:60-81). Colors are linear RGB; None keeps the defaults.
     """
     h = np.asarray(height, np.float32)
     f = np.clip(np.asarray(foam, np.float32), 0.0, 1.0)
+    wc = np.asarray(water_color if water_color is not None
+                    else shading.DEFAULT_WATER_COLOR, np.float32)
+    fc = np.asarray(foam_color if foam_color is not None
+                    else shading.DEFAULT_FOAM_COLOR, np.float32)
+    wc_srgb = np.clip(wc, 0.0, 1.0) ** (1 / 2.2) * 255.0
+    fc_srgb = np.clip(fc, 0.0, 1.0) ** (1 / 2.2) * 255.0
     scale = max(1e-6, float(np.percentile(np.abs(h), 95)))
-    t = np.clip(h / (2 * scale) + 0.5, 0.0, 1.0)
-    base = np.stack([10 + 40 * t, 40 + 120 * t, 90 + 150 * t], axis=-1)
-    rgb = (base * (1 - f[..., None]) + 235 * f[..., None]).astype(np.uint8)
+    t = np.clip(h / (2 * scale) + 0.5, 0.0, 1.0)[..., None]
+    # troughs dark, crests toward a sky-lit brightening of the water tint
+    base = wc_srgb * (0.25 + 1.05 * t) + np.float32(70.0) * t
+    rgb = np.clip(base * (1 - f[..., None]) + fc_srgb * 1.25 * f[..., None],
+                  0, 255).astype(np.uint8)
     lines = []
     for y in range(0, rgb.shape[0] - 1, 2):
         row = []
@@ -179,7 +190,9 @@ class LiveViewer:
         scales = self.ocean.params.map_scales()
         height, foam = _sample_field_jit(
             self._maps, scales, self.extent, self.cols, self.rows)
-        body = ansi_field(np.asarray(height), np.asarray(foam))
+        body = ansi_field(np.asarray(height), np.asarray(foam),
+                          water_color=self.ocean.water_color,
+                          foam_color=self.ocean.foam_color)
         self.stats.record(time.perf_counter() - t0)
         return f"{body}\n{self.status_line()}\n{KEY_HELP}"
 

@@ -201,10 +201,10 @@ class WebViewer:
             np.zeros((height, width, 3), np.uint8))
         self._frame_no = 0
         self._state_cache: dict | None = None
-        # global colors (water.gd:14-18; the panel's color pickers) — traced
-        # render args, so edits do NOT retrace the jitted render
-        self._water_color = np.asarray(shading.DEFAULT_WATER_COLOR, np.float32)
-        self._foam_color = np.asarray(shading.DEFAULT_FOAM_COLOR, np.float32)
+        # global colors (water.gd:14-18) live on the Ocean session — ONE
+        # source of truth shared with the ANSI viewer and demo renders; the
+        # panel's pickers edit it. Passed as traced render args, so edits do
+        # NOT retrace the jitted render.
         self._stop = threading.Event()
         self._server: ThreadingHTTPServer | None = None
         self._threads: list[threading.Thread] = []
@@ -236,7 +236,7 @@ class WebViewer:
             with self._ocean_lock:
                 maps = self.ocean.update(dt) or maps
                 scales = self.ocean.params.map_scales()
-                wc, fc = self._water_color, self._foam_color
+                wc, fc = self.ocean.water_color, self.ocean.foam_color
                 snap = self._snapshot_ocean()
             if maps is None:           # scheduler skipped the very first tick
                 self._stop.wait(dt)
@@ -268,8 +268,8 @@ class WebViewer:
             "map_size": self.ocean.config.map_size,
             "resolutions": list(RESOLUTIONS),
             "updates_per_second": self.ocean.updates_per_second,
-            "water_color": [float(v) for v in self._water_color],
-            "foam_color": [float(v) for v in self._foam_color],
+            "water_color": [float(v) for v in self.ocean.water_color],
+            "foam_color": [float(v) for v in self.ocean.foam_color],
         }
 
     def _state(self) -> dict:
@@ -295,7 +295,7 @@ class WebViewer:
                 # page sends sRGB [r,g,b] in [0,1]; shade() wants linear
                 # (the reference converts too: water.gd srgb_to_linear)
                 lin = np.clip(np.asarray(value, np.float32), 0, 1) ** 2.2
-                setattr(self, f"_{name}", lin)
+                setattr(self.ocean, name, lin)
             elif name == "num_cascades":
                 from ..models.cascade import CascadeParams
                 want = max(1, min(8, int(value)))

@@ -364,3 +364,40 @@ def test_height_field_energy_parseval():
         energy = np.sum(np.abs(hk) ** 2) - np.abs(hk[n // 2, n // 2]) ** 2
         assert abs(var_map - energy) / max(energy, 1e-12) < 1e-4, (
             c, var_map, energy)
+
+
+def test_session_global_colors_single_source():
+    """water_color/foam_color live on the Ocean session (water.gd:14-18;
+    project.godot:60-81 globals): one copy that every render surface reads,
+    carried through checkpoint/restore."""
+    from godotoceanwaves_tpu.models import shading
+    from godotoceanwaves_tpu.utils.live import ansi_field
+
+    ocean = Ocean(map_size=16, updates_per_second=0)
+    np.testing.assert_allclose(ocean.water_color, shading.DEFAULT_WATER_COLOR)
+    np.testing.assert_allclose(ocean.foam_color, shading.DEFAULT_FOAM_COLOR)
+
+    ocean.water_color = np.array([0.5, 0.05, 0.05], np.float32)
+    ocean.foam_color = np.array([0.9, 0.9, 0.1], np.float32)
+
+    # the ANSI surface's palette tracks the session colors
+    h = np.random.RandomState(0).randn(8, 8).astype(np.float32)
+    f = np.linspace(0, 1, 64, dtype=np.float32).reshape(8, 8)
+    assert ansi_field(h, f) != ansi_field(
+        h, f, water_color=ocean.water_color, foam_color=ocean.foam_color)
+
+    # the web panel's snapshot reads the same copy (no viewer-local state)
+    from godotoceanwaves_tpu.utils.webviewer import WebViewer
+    viewer = WebViewer(ocean, width=16, height=12)
+    snap = viewer._snapshot_ocean()
+    np.testing.assert_allclose(snap["water_color"], ocean.water_color,
+                               atol=1e-6)
+    viewer._apply({"name": "foam_color", "value": [1.0, 0.0, 0.0]})
+    np.testing.assert_allclose(ocean.foam_color, [1.0, 0.0, 0.0], atol=1e-6)
+
+    # checkpoint/restore round-trips the colors
+    snap = ocean.checkpoint()
+    fresh = Ocean(map_size=16, updates_per_second=0)
+    fresh.restore(snap)
+    np.testing.assert_allclose(fresh.water_color, ocean.water_color)
+    np.testing.assert_allclose(fresh.foam_color, ocean.foam_color)
