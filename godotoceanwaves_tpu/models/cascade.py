@@ -216,11 +216,13 @@ class SimConfig:
         """Whether `step` runs the single fused Pallas kernel (TPU fast path).
 
         Requires the Pallas tier (N = Q*128) and a per-cascade VMEM footprint
-        that fits v5e's ~128 MB: fp32 map outputs at 1024^2 don't, bf16 do.
-        float16 maps (the fp16 parity-pinning dtype) take the staged path —
-        f16 is not a native Mosaic store dtype on this backend.
+        that fits v5e's ~128 MB (fp32 map outputs at 1024^2 fit via
+        single-buffered output windows). float16 maps (the fp16
+        parity-pinning dtype, wave_generator.gd:34-35) run the kernel at
+        fp32 with a cast at the output window — f16 is not a native Mosaic
+        store dtype on this backend (docs/PERF.md).
         """
-        if self.fused == "never" or self.map_dtype == "float16":
+        if self.fused == "never":
             return False
         if self.resolved_fft_impl() != "pallas" or self.map_size % 128:
             return False
@@ -235,8 +237,10 @@ class SimConfig:
         chain runs as two strip-grid kernels with the mid-chain layers staged
         through HBM (ops/pallas_strip.py). Upper bound N = 8192: the sigma
         digit un-swap needs Q = N/128 <= 128 and per-program windows ~Q/2 MB.
+        float16 maps run at fp32 in-kernel with an output-window cast, as on
+        the fused path.
         """
-        if self.fused == "never" or self.map_dtype == "float16":
+        if self.fused == "never":
             return False
         if self.map_size % 128 or not (1024 < self.map_size <= 8192):
             return False

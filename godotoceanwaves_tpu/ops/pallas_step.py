@@ -262,6 +262,17 @@ def _default_frames_per_program(num_frames: int, n: int, map_dtype) -> int:
 
 def _fused_call(h0, h0nc, foam, scalars, *, num_frames: int, depth: float,
                 g: float, map_dtype, frames_per_program: int | None = None):
+    if map_dtype == jnp.float16:
+        # Mosaic on this backend cannot store f16 from a kernel (docs/PERF.md
+        # "fp16 map stores"): run the kernel at fp32 and cast at the output.
+        # Same values as an in-kernel f16 round-to-nearest — and identical to
+        # the staged path's unpack-time cast, which is what the fp16 parity
+        # pin compares against — at the cost of one extra HBM pass over the
+        # maps (~0.1 ms at 4x1024^2).
+        disp, norm, foam_out = _fused_call(
+            h0, h0nc, foam, scalars, num_frames=num_frames, depth=depth,
+            g=g, map_dtype=jnp.float32, frames_per_program=frames_per_program)
+        return disp.astype(jnp.float16), norm.astype(jnp.float16), foam_out
     c, two, n, n2 = h0.shape
     assert two == 2 and n == n2 and n % LANES == 0, h0.shape
     assert n & (n - 1) == 0, f"digit pass needs a power-of-two N, got {n}"

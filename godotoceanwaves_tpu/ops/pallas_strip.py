@@ -146,6 +146,14 @@ def strip_cascade_step(h0, h0nc, foam, scalars, *, depth: float,
     blow the VMEM budget (see below). An explicit value is honored when it
     fits and warned about + coerced when it cannot.
     """
+    if map_dtype == jnp.float16:
+        # f16 is not a Mosaic store dtype on this backend (docs/PERF.md):
+        # run at fp32, cast at the output — same rounding as an in-kernel
+        # f16 store and as the staged path's unpack-time cast.
+        disp, norm, foam_out = strip_cascade_step(
+            h0, h0nc, foam, scalars, depth=depth, g=g,
+            map_dtype=jnp.float32, buffer_count=buffer_count)
+        return disp.astype(jnp.float16), norm.astype(jnp.float16), foam_out
     c, two, n, n2 = h0.shape
     assert two == 2 and n == n2 and n % LANES == 0, h0.shape
     assert n & (n - 1) == 0, f"digit pass needs a power-of-two N, got {n}"

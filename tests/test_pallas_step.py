@@ -140,3 +140,34 @@ def test_step_cascade_fused_matches_staged(rms, monkeypatch):
     scale = max(1e-9, float(np.sqrt(np.mean(np.asarray(ms.displacement, np.float64) ** 2))))
     assert rms(mf.displacement, ms.displacement) / scale < 1e-4
     assert rms(sf2.foam, ss2.foam) < 1e-4
+
+
+def test_fused_step_float16_maps(rms, monkeypatch):
+    """float16 maps (the parity-pinning dtype, wave_generator.gd:34-35) run
+    THROUGH the fused kernel path: kernel at fp32 + output-window cast must
+    equal the staged path's unpack-time f16 cast bit-for-bit."""
+    monkeypatch.setattr(pl, "pallas_call",
+                        functools.partial(pl.pallas_call, interpret=True))
+    n = 128
+    cfg_f = SimConfig(map_size=n, fft_impl="pallas", map_dtype="float16")
+    cfg_s = SimConfig(map_size=n, fft_impl="fourstep", map_dtype="float16",
+                      fused="never")
+    assert cfg_f.use_fused_step(), "f16 must route through the fused kernel"
+    params = default_cascades()
+    state_f = init_state(cfg_f, params)
+    state_s = init_state(cfg_s, params)
+
+    sf, maps_f = step_impl(cfg_f, state_f, params, 0.07)
+    ss, maps_s = step_impl(cfg_s, state_s, params, 0.07)
+    assert maps_f.displacement.dtype == jnp.float16
+    assert maps_f.normal.dtype == jnp.float16
+    # kernel-vs-staged fp32 intermediates agree to ~1e-4 relative (the
+    # standing parity bound); f16 rounding on top keeps the fields within
+    # ~1 ulp (2^-11 relative) of each other
+    d_f = np.asarray(maps_f.displacement, np.float64)
+    d_s = np.asarray(maps_s.displacement, np.float64)
+    scale = max(1e-9, float(np.sqrt(np.mean(d_s ** 2))))
+    assert np.sqrt(np.mean((d_f - d_s) ** 2)) / scale < 1e-3
+    assert rms(maps_f.normal.astype(jnp.float32),
+               maps_s.normal.astype(jnp.float32)) < 2e-3
+    assert rms(sf.foam, ss.foam) < 1e-4   # foam recurrence stays fp32

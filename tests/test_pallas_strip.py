@@ -80,5 +80,48 @@ def test_use_strip_step_gating():
     assert not SimConfig(map_size=16384, fft_impl="pallas").use_strip_step()
     assert not SimConfig(map_size=2048, fft_impl="pallas",
                          fused="never").use_strip_step()
-    assert not SimConfig(map_size=2048, fft_impl="pallas",
-                         map_dtype="float16").use_strip_step()
+    # f16 maps route through the strip tier (fp32 kernel + output cast)
+    assert SimConfig(map_size=2048, fft_impl="pallas",
+                     map_dtype="float16").use_strip_step()
+
+
+def test_strip_step_float16_maps(rms, monkeypatch):
+    """f16 maps route through the strip tier too (fp32 kernel + output cast
+    == the staged path's f16 cast)."""
+    import functools
+
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+
+    from godotoceanwaves_tpu import SimConfig, default_cascades, init_state
+    from godotoceanwaves_tpu.models.ocean import step_impl
+
+    monkeypatch.setattr(pl, "pallas_call",
+                        functools.partial(pl.pallas_call, interpret=True))
+    n = 256
+    cfg_f = SimConfig(map_size=n, fft_impl="pallas", map_dtype="float16")
+    assert cfg_f.use_fused_step()
+    params = default_cascades()
+
+    from godotoceanwaves_tpu.ops import pallas_step, pallas_strip
+    from godotoceanwaves_tpu.models.ocean import _foam_rates
+
+    state = init_state(cfg_f, params)
+    grow, decay = _foam_rates(params, jnp.float32(0.07))
+    scal = pallas_step.pack_scalars(state.time + 0.07, params.tile_length,
+                                    params.whitecap, grow, decay)
+    d_strip, n_strip, foam_strip = pallas_strip.strip_cascade_step(
+        state.h0, state.h0nc, state.foam, scal,
+        depth=cfg_f.depth, g=cfg_f.g, map_dtype=jnp.float16)
+    assert d_strip.dtype == jnp.float16 and n_strip.dtype == jnp.float16
+
+    cfg_s = SimConfig(map_size=n, fft_impl="fourstep", map_dtype="float16",
+                      fused="never")
+    _, maps_s = step_impl(cfg_s, init_state(cfg_s, params), params, 0.07)
+    import numpy as np
+    d_f = np.asarray(d_strip, np.float64)
+    d_s = np.asarray(maps_s.displacement, np.float64)
+    scale = max(1e-9, float(np.sqrt(np.mean(d_s ** 2))))
+    assert np.sqrt(np.mean((d_f - d_s) ** 2)) / scale < 1e-3
+    assert rms(n_strip.astype(jnp.float32),
+               maps_s.normal.astype(jnp.float32)) < 2e-3
