@@ -61,6 +61,12 @@ def main() -> None:
     ap.add_argument("--environment", action="store_true",
                     help="apply the reference scene's fog/tonemap post "
                          "(main.tscn:22-41) to rendered frames")
+    ap.add_argument("--flat", action="store_true",
+                    help="legacy flat-plane render (no displaced geometry); "
+                         "default renders the vertex-displaced clipmap mesh "
+                         "with silhouettes/parallax (water.gdshader:29-38)")
+    ap.add_argument("--mesh-quality", choices=("low", "high"), default="high",
+                    help="clipmap mesh grading (water.gd:43-46)")
     ap.add_argument("--ambience", type=str, default=None,
                     help="write the wind-mixed procedural ambience loop "
                          "(WAV) for the current cascade stack")
@@ -121,11 +127,22 @@ def main() -> None:
     now = 0.0
     # jitted render: one dispatch/frame instead of ~100 eager ones (the
     # tunnel relay makes eager chains seconds-per-frame); the session's
-    # global colors (water.gd:14-18) ride as traced args
+    # global colors (water.gd:14-18) ride as traced args. Default path
+    # renders the vertex-displaced clipmap mesh (models/geometry.py) —
+    # silhouettes and parallax, the reference's defining visual; --flat
+    # keeps the cheap y=0 raycast.
     import jax
-    render = jax.jit(lambda m, s, wc, fc: shading.render_ocean(
-        m, s, width=args.width, height=args.height,
-        environment=args.environment, water_color=wc, foam_color=fc))
+    import jax.numpy as jnp
+    if args.flat:
+        render = jax.jit(lambda m, s, wc, fc: shading.render_ocean(
+            m, s, width=args.width, height=args.height,
+            environment=args.environment, water_color=wc, foam_color=fc))
+    else:
+        from godotoceanwaves_tpu.models import geometry
+        coords = jnp.asarray(geometry.clipmap_axis_coords(args.mesh_quality))
+        render = jax.jit(lambda m, s, wc, fc: geometry.render_ocean_geometry(
+            m, s, coords, width=args.width, height=args.height,
+            environment=args.environment, water_color=wc, foam_color=fc))
     for i in range(args.frames):
         t0 = time.perf_counter()
         maps = ocean.update(dt) or maps

@@ -1,7 +1,10 @@
-"""Models: cascade parameters, ocean simulation session, spray, shading."""
+"""Models: cascade parameters, ocean simulation session, spray, shading,
+displaced-geometry rendering."""
 from .camera import FlyCamera
 from .cascade import (CascadeParams, SimConfig, default_cascades,
                       dual_wind_swell_cascades, stack_cascades)
+from .geometry import (CLIPMAP_PRESETS, clipmap_axis_coords,
+                       render_ocean_geometry)
 from .ocean import (
     Ocean,
     OceanMaps,
@@ -19,6 +22,7 @@ from .ocean import (
 __all__ = [
     "FlyCamera", "CascadeParams", "SimConfig", "default_cascades",
     "dual_wind_swell_cascades", "stack_cascades",
+    "CLIPMAP_PRESETS", "clipmap_axis_coords", "render_ocean_geometry",
     "Ocean", "OceanMaps", "OceanState", "generate_spectrum", "init_state",
     "multi_step", "refresh_cascades", "simulate", "step", "step_cascade", "step_frames",
 ]

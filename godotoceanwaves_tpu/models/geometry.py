@@ -1,0 +1,265 @@
+"""Displaced-geometry renderer: the reference's vertex stage made visible.
+
+The reference's defining visual is a clipmap mesh whose vertices ride the
+displacement maps (water.gdshader:29-38 vertex stage; clipmap mesh selected
+at water.gd:8-9,46, camera-snapped at main.gd:32-37). This module renders
+that displaced geometry — silhouettes, parallax, a shaped horizon — from
+the same ingredients:
+
+  1. `displaced_grid` runs the vertex stage: the clipmap grid's vertices
+     (utils/clipmap.build_clipmap — the C19 mesh, native C++ generator)
+     are displaced by the cascade sum with the 150 m falloff
+     (shading.cascade_displacement == water.gdshader:29-38).
+  2. `render_ocean_geometry` ray-marches the displaced surface: each pixel
+     ray walks the mesh's bilinear-patch interpolation of the displaced
+     vertex grid (the array-renderer analog of GPU rasterization of the
+     displaced triangles — identical up to the quad-diagonal split) and
+     lands on the first crossing, refined by bisection. Horizontal (choppy)
+     displacement is honored by fixed-point inversion in the mesh parameter
+     domain — the sampled param equals the reference fragment's UV, which
+     is assigned from the PRE-displacement world xz (water.gdshader:28).
+  3. Hits shade with the full C12 fragment/light model (shading.shade);
+     misses shade sky; beyond the finite mesh the ocean continues on the
+     flat y=0 plane (displacement is falloff-killed past 150 m anyway, and
+     the reference hides its own mesh edge with depth fog).
+
+Quality presets mirror the reference's mesh_quality switch (water.gd:43-46):
+"low"/"high" clipmap gradings of the same 512 m footprint. TPU-wise the
+whole render is one jitted program: the march is a `lax.fori_loop` of
+vectorized gathers over the (H, W) pixel grid — no data-dependent shapes.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import shading
+
+# the reference ships two clipmap gradings of a 512x512 m plane
+# (water.gd:8-9: clipmap_high ~ stripped large blob, clipmap_low 23.5k
+# verts). Same footprint, doubled center/ring density for "high".
+CLIPMAP_PRESETS: dict[str, dict] = {
+    "low": dict(levels=4, center_res=64, ring_cells=16, extent=512.0),
+    "high": dict(levels=4, center_res=128, ring_cells=32, extent=512.0),
+}
+
+
+@functools.lru_cache(maxsize=4)
+def clipmap_axis_coords(quality: str = "high") -> np.ndarray:
+    """The clipmap's graded 1D axis coordinates (k,), via the C19 generator.
+
+    Consumes utils.clipmap.build_clipmap (native C++ when available) and
+    recovers the tensor-product structure: verts are a row-major (k, k)
+    grid of (x, z) with x varying fastest.
+    """
+    from ..utils.clipmap import build_clipmap
+
+    verts, _ = build_clipmap(**CLIPMAP_PRESETS[quality])
+    k = int(round(len(verts) ** 0.5))
+    assert k * k == len(verts), "clipmap verts are not a tensor grid"
+    coords = verts[:k, 0].copy()
+    # structural sanity: row-major grid (x fastest), shared axis both ways
+    assert np.array_equal(verts[:k, 0], verts[k:2 * k, 0])
+    assert np.array_equal(verts[::k, 1], coords)
+    return coords
+
+
+def displaced_grid(maps, map_scales: jax.Array, coords: jax.Array,
+                   center_xz: jax.Array, camera_pos: jax.Array) -> jax.Array:
+    """Vertex stage: displaced world positions of the clipmap grid.
+
+    coords: (k,) graded axis; center_xz: (2,) mesh origin (snap_to_tile of
+    the camera, main.gd:32-37). Returns (k, k, 3) world positions indexed
+    [z_row, x_col] — the displaced mesh the renderer walks. Matches
+    water.gdshader:29-38 (cascade sum x map scales, 150 m falloff).
+    """
+    local = jnp.stack(jnp.meshgrid(coords, coords, indexing="xy"), axis=-1)
+    world_xz = local + center_xz                        # (k, k, 2)
+    disp = shading.cascade_displacement(
+        maps.displacement, map_scales, world_xz,
+        camera_xz=camera_pos[jnp.array([0, 2])])
+    return jnp.stack([world_xz[..., 0] + disp[..., 0],
+                      disp[..., 1],
+                      world_xz[..., 1] + disp[..., 2]], axis=-1)
+
+
+def _grid_sample(grid: jax.Array, coords: jax.Array, center_xz: jax.Array,
+                 qx: jax.Array, qz: jax.Array) -> jax.Array:
+    """Bilinear sample of the displaced (k, k, 3) grid at world (qx, qz),
+    interpolating in the mesh PARAMETER domain (queries clamped to the
+    footprint — edge behavior is overridden by the flat far-field in the
+    renderer)."""
+    k = coords.shape[0]
+    lx = qx - center_xz[0]
+    lz = qz - center_xz[1]
+    i = jnp.clip(jnp.searchsorted(coords, lx) - 1, 0, k - 2)
+    j = jnp.clip(jnp.searchsorted(coords, lz) - 1, 0, k - 2)
+    x0, x1 = coords[i], coords[i + 1]
+    z0, z1 = coords[j], coords[j + 1]
+    fx = jnp.clip((lx - x0) / (x1 - x0), 0.0, 1.0)[..., None]
+    fz = jnp.clip((lz - z0) / (z1 - z0), 0.0, 1.0)[..., None]
+    v00 = grid[j, i]
+    v10 = grid[j, i + 1]
+    v01 = grid[j + 1, i]
+    v11 = grid[j + 1, i + 1]
+    return ((v00 * (1 - fx) + v10 * fx) * (1 - fz)
+            + (v01 * (1 - fx) + v11 * fx) * fz)
+
+
+def surface_height(grid: jax.Array, coords: jax.Array, center_xz: jax.Array,
+                   x: jax.Array, z: jax.Array, chop_iters: int = 1):
+    """Displaced-surface height under world (x, z), honoring horizontal chop.
+
+    The displaced mesh is a heightfield over its PARAMETER (pre-displacement
+    xz) domain; horizontal displacement shifts where each column lands.
+    Fixed-point inversion (standard for choppy Tessendorf surfaces; converges
+    while |d(chop)/dxz| < 1) finds the param whose displaced xz is (x, z).
+    Returns (height, (param_x, param_z)) — the param doubles as the
+    fragment UV (water.gdshader:28 assigns UV before displacement).
+    """
+    px, pz = x, z
+    for _ in range(chop_iters):
+        s = _grid_sample(grid, coords, center_xz, px, pz)
+        px = px - (s[..., 0] - x)
+        pz = pz - (s[..., 2] - z)
+    s = _grid_sample(grid, coords, center_xz, px, pz)
+    return s[..., 1], (px, pz)
+
+
+def camera_rays(width: int, height: int, pitch_deg, yaw_deg, fov_deg):
+    """Pixel ray directions (H, W, 3) for the FlyCamera basis convention
+    (same math as shading.render_ocean)."""
+    pitch = jnp.deg2rad(jnp.asarray(pitch_deg, jnp.float32))
+    tan_half = jnp.tan(jnp.deg2rad(jnp.asarray(fov_deg, jnp.float32)) / 2)
+    xs = (jnp.arange(width, dtype=jnp.float32) / width * 2 - 1) * tan_half
+    ys = ((0.5 - jnp.arange(height, dtype=jnp.float32) / height) * 2 * tan_half
+          * (height / width))
+    dirx, diry = jnp.meshgrid(xs, ys)
+    cp, sp = jnp.cos(pitch), jnp.sin(pitch)
+    d = jnp.stack([dirx, diry * cp + sp, -diry * sp + cp], axis=-1)
+    yaw = jnp.deg2rad(jnp.asarray(yaw_deg, jnp.float32))
+    cy, sy = jnp.cos(yaw), jnp.sin(yaw)
+    d = jnp.stack([cy * d[..., 0] - sy * d[..., 2], d[..., 1],
+                   sy * d[..., 0] + cy * d[..., 2]], axis=-1)
+    return d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+
+
+def render_ocean_geometry(
+    maps,                       # OceanMaps (channel-first planes)
+    map_scales: jax.Array,      # (C, 4)
+    coords: jax.Array,          # (k,) clipmap axis (clipmap_axis_coords)
+    width: int = 960,
+    height: int = 540,
+    camera_pos=(0.0, 12.0, 0.0),
+    pitch_deg=-12.0,
+    yaw_deg=0.0,
+    fov_deg=70.0,
+    center_xz=None,             # mesh origin; None -> snapped under camera
+    light_dir=(0.3, 0.55, 0.9),
+    environment: bool = False,
+    march_steps: int = 40,
+    bisect_steps: int = 8,
+    chop_iters: int = 1,
+    far: float = 1600.0,
+    **shade_kwargs,
+) -> jax.Array:
+    """Perspective render of the DISPLACED clipmap mesh -> (H, W, 3) RGB.
+
+    Rays march the displaced surface (true silhouettes/parallax — the
+    capability of the reference's vertex-displaced rasterization,
+    water.gdshader:29-38) inside the mesh footprint, and fall back to the
+    flat y=0 plane beyond it. Camera pose arguments are traced (pass jnp
+    scalars to fly without retracing).
+    """
+    cam = jnp.asarray(camera_pos, jnp.float32)
+    if center_xz is None:
+        # clipmap follow: mesh snapped to whole tiles under the camera
+        # (main.gd:32-37; snap in-trace so a moving camera doesn't retrace)
+        center_xz = jnp.ceil(cam[jnp.array([0, 2])])
+    else:
+        center_xz = jnp.asarray(center_xz, jnp.float32)
+    d = camera_rays(width, height, pitch_deg, yaw_deg, fov_deg)
+    light = jnp.asarray(light_dir, jnp.float32)
+    light = light / jnp.linalg.norm(light)
+
+    grid = displaced_grid(maps, map_scales, coords, center_xz, cam)
+    y_max = jnp.max(grid[..., 1]) + 0.1
+    y_min = jnp.min(grid[..., 1]) - 0.1
+
+    dy = d[..., 1]
+    eps = 1e-6
+    safe_dy = jnp.where(jnp.abs(dy) < eps, jnp.where(dy < 0, -eps, eps), dy)
+    # march window: enter at the crest ceiling (if above it), leave at the
+    # trough floor or the mesh's horizontal bounding box
+    t_enter = jnp.where(cam[1] > y_max, (y_max - cam[1]) / safe_dy, 0.0)
+    t_enter = jnp.where((cam[1] > y_max) & (dy >= 0), jnp.inf, jnp.maximum(t_enter, 0.0))
+    t_floor = jnp.where(dy < 0, (y_min - cam[1]) / safe_dy, jnp.inf)
+    lo_x, hi_x = coords[0] + center_xz[0], coords[-1] + center_xz[0]
+    lo_z, hi_z = coords[0] + center_xz[1], coords[-1] + center_xz[1]
+    def exit_t(o, dd, lo, hi):
+        sd = jnp.where(jnp.abs(dd) < eps, eps, dd)
+        t1 = (lo - o) / sd
+        t2 = (hi - o) / sd
+        return jnp.maximum(t1, t2)
+    t_box = jnp.minimum(exit_t(cam[0], d[..., 0], lo_x, hi_x),
+                        exit_t(cam[2], d[..., 2], lo_z, hi_z))
+    t_end = jnp.minimum(jnp.minimum(t_floor, t_box), far)
+    marchable = t_enter < t_end
+
+    t0 = jnp.where(marchable, t_enter, 0.0)
+    t1 = jnp.where(marchable, t_end, 1.0)
+    step = (t1 - t0) / march_steps
+
+    def below_at(t):
+        p = cam + t[..., None] * d
+        h, _ = surface_height(grid, coords, center_xz, p[..., 0], p[..., 2],
+                              chop_iters)
+        return p[..., 1] < h
+
+    def march_body(i, carry):
+        found, lo, hi = carry
+        t = t0 + (i + 1.0) * step
+        b = below_at(t) & marchable
+        newly = b & ~found
+        lo = jnp.where(newly, t - step, lo)
+        hi = jnp.where(newly, t, hi)
+        return found | b, lo, hi
+
+    found0 = below_at(t0) & marchable       # camera already under a crest
+    init = (found0, t0, t0 + step)
+    found, lo, hi = jax.lax.fori_loop(0, march_steps, march_body, init)
+
+    def bisect_body(_, carry):
+        lo, hi = carry
+        mid = 0.5 * (lo + hi)
+        b = below_at(mid)
+        return jnp.where(b, lo, mid), jnp.where(b, hi, mid)
+
+    lo, hi = jax.lax.fori_loop(0, bisect_steps, bisect_body, (lo, hi))
+    t_hit = 0.5 * (lo + hi)
+
+    # flat far-field: rays that miss the mesh but still descend hit y=0
+    t_flat = jnp.where(dy < 0, -cam[1] / safe_dy, jnp.inf)
+    use_flat = ~found & (dy < 0) & (t_flat > 0)
+    t_hit = jnp.where(found, t_hit, t_flat)
+    hit = found | use_flat
+
+    t_safe = jnp.where(hit, t_hit, 1.0)
+    p = cam + t_safe[..., None] * d
+    # fragment UV = pre-displacement param (water.gdshader:28)
+    _, (ux, uz) = surface_height(grid, coords, center_xz,
+                                 p[..., 0], p[..., 2], chop_iters)
+    ux = jnp.where(found, ux, p[..., 0])
+    uz = jnp.where(found, uz, p[..., 2])
+    uv = jnp.stack([ux, uz], axis=-1)
+
+    grad = shading.cascade_gradient(maps.normal, map_scales, uv)
+    dist = t_safe
+    rgb = shading.shade(grad, p[..., 1], -d, light, dist, **shade_kwargs)
+    rgb = jnp.where(hit[..., None], rgb, shading.sky_color(d, light))
+    if environment:
+        rgb = shading.apply_environment(rgb, dist, hit)
+    return jnp.clip(rgb, 0.0, 1.0)

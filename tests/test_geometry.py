@@ -1,0 +1,134 @@
+"""Displaced-geometry renderer (C12 vertex stage + C19 clipmap consumption).
+
+The silhouette test is the round-3 acceptance check: a high-amplitude ocean
+rendered through the displaced mesh must shape the horizon differently from
+the flat y=0 raycast (water.gdshader:29-38's visible effect).
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from godotoceanwaves_tpu import Ocean
+from godotoceanwaves_tpu.models import geometry, shading
+
+W, H = 128, 72
+# low camera: plenty of crests (sigma ~1.9 m at wind 18) top out above the
+# 2.5 m eye line, so the horizon must show silhouettes
+CAM = dict(camera_pos=(0.0, 2.5, 0.0), pitch_deg=-3.0, yaw_deg=0.0)
+LIGHT = (0.3, 0.55, 0.9)
+
+
+@pytest.fixture(scope="module")
+def ocean_maps():
+    o = Ocean(map_size=64, updates_per_second=0)
+    o.set_cascade(0, wind_speed=18.0)          # big waves for silhouettes
+    maps = None
+    for _ in range(8):
+        maps = o.update(1 / 30) or maps
+    return maps, o.params.map_scales()
+
+
+def _sky_mask(img):
+    """True where the renderer wrote sky (both paths share sky_color)."""
+    d = geometry.camera_rays(W, H, CAM["pitch_deg"], CAM["yaw_deg"], 70.0)
+    light = jnp.asarray(LIGHT) / np.linalg.norm(LIGHT)
+    sky = np.asarray(jnp.clip(shading.sky_color(d, light), 0.0, 1.0))
+    return (np.abs(np.asarray(img) - sky) < 1e-6).all(axis=-1)
+
+
+def test_clipmap_presets_structure():
+    lo = geometry.clipmap_axis_coords("low")
+    hi = geometry.clipmap_axis_coords("high")
+    for coords in (lo, hi):
+        assert np.all(np.diff(coords) > 0)                  # monotone grid
+        np.testing.assert_allclose(coords, -coords[::-1])   # symmetric
+        np.testing.assert_allclose(coords[-1], 256.0)       # 512 m footprint
+        # graded: cells grow outward (clipmap LOD), monotonically
+        steps = np.diff(coords)
+        half = steps[len(steps) // 2:]
+        assert np.all(np.diff(half) >= -1e-6)
+    assert len(hi) > len(lo)                                # water.gd:43-46
+
+
+def test_displaced_grid_is_the_vertex_stage(ocean_maps):
+    """displaced_grid == cascade_displacement at each clipmap vertex
+    (water.gdshader:29-38: world xz + summed displacement, 150 m falloff)."""
+    maps, scales = ocean_maps
+    coords = jnp.asarray(geometry.clipmap_axis_coords("low"))
+    cam = jnp.asarray([3.0, 10.0, -2.0])
+    center = jnp.asarray([7.0, -5.0])
+    grid = geometry.displaced_grid(maps, scales, coords, center, cam)
+    k = coords.shape[0]
+    assert grid.shape == (k, k, 3)
+
+    idx = np.array([[0, 0], [k // 2, k // 2], [5, k - 3], [k - 1, 17]])
+    for j, i in idx:
+        world = jnp.asarray([coords[i] + center[0], coords[j] + center[1]])
+        disp = shading.cascade_displacement(
+            maps.displacement, scales, world,
+            camera_xz=cam[jnp.array([0, 2])])
+        expect = jnp.asarray([world[0] + disp[0], disp[1], world[1] + disp[2]])
+        np.testing.assert_allclose(np.asarray(grid[j, i]), np.asarray(expect),
+                                   rtol=1e-5, atol=1e-5)
+
+
+def test_silhouette_differs_from_flat_render(ocean_maps):
+    """Wave crests must rise above the flat-plane horizon: the geometry
+    render shows water where the y=0 raycast shows sky."""
+    maps, scales = ocean_maps
+    coords = jnp.asarray(geometry.clipmap_axis_coords("low"))
+    geom = geometry.render_ocean_geometry(
+        maps, scales, coords, width=W, height=H, light_dir=LIGHT,
+        march_steps=28, bisect_steps=8, **CAM)
+    flat = shading.render_ocean(maps, scales, width=W, height=H,
+                                light_dir=LIGHT, **CAM)
+    sky_g, sky_f = _sky_mask(geom), _sky_mask(flat)
+    assert sky_f.any() and (~sky_f).any()       # flat horizon in frame
+    # crests breaking the horizon: water in the geometry render where the
+    # flat render saw sky
+    assert int((~sky_g & sky_f).sum()) > 5, "no silhouette above the horizon"
+    # and the images themselves differ substantially (parallax)
+    assert float(np.abs(np.asarray(geom) - np.asarray(flat)).mean()) > 0.005
+
+
+def test_zero_displacement_reduces_to_flat_plane(ocean_maps):
+    """With zero displacement the displaced mesh IS the y=0 plane: the two
+    renderers must agree (up to the march/bisect hit tolerance)."""
+    maps, scales = ocean_maps
+    zero = maps.replace(displacement=jnp.zeros_like(maps.displacement))
+    coords = jnp.asarray(geometry.clipmap_axis_coords("low"))
+    geom = np.asarray(geometry.render_ocean_geometry(
+        zero, scales, coords, width=W, height=H, light_dir=LIGHT,
+        march_steps=28, bisect_steps=12, **CAM))
+    flat = np.asarray(shading.render_ocean(zero, scales, width=W, height=H,
+                                           light_dir=LIGHT, **CAM))
+    assert (_sky_mask(geom) == _sky_mask(flat)).all()
+    diff = np.abs(geom - flat)
+    assert diff.mean() < 0.01
+    # bulk agreement; isolated grazing pixels may shift a specular sparkle
+    # by the finite hit tolerance
+    assert np.percentile(diff, 99) < 0.05
+
+
+def test_geometry_render_is_jittable_with_traced_camera(ocean_maps):
+    """Camera pose rides as traced args: moving the camera must not retrace
+    (the fly-camera requirement for the live surfaces)."""
+    maps, scales = ocean_maps
+    coords = jnp.asarray(geometry.clipmap_axis_coords("low"))
+    traces = []
+
+    def render(maps, scales, pos, pitch, yaw):
+        traces.append(1)
+        return geometry.render_ocean_geometry(
+            maps, scales, coords, width=64, height=36, camera_pos=pos,
+            pitch_deg=pitch, yaw_deg=yaw, march_steps=16, bisect_steps=4)
+
+    jr = jax.jit(render)
+    a = jr(maps, scales, jnp.asarray([0.0, 8.0, 0.0]),
+           jnp.float32(-10.0), jnp.float32(0.0))
+    b = jr(maps, scales, jnp.asarray([5.0, 9.0, -20.0]),
+           jnp.float32(-25.0), jnp.float32(40.0))
+    assert len(traces) == 1, "camera motion retraced the renderer"
+    assert np.isfinite(np.asarray(a)).all() and np.isfinite(np.asarray(b)).all()
+    assert np.abs(np.asarray(a) - np.asarray(b)).mean() > 1e-3
