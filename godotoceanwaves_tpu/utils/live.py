@@ -1,12 +1,16 @@
-"""Live interactive session: the reference's ImGui panel as a terminal loop.
+"""Live interactive session: the reference's interactive scene as a terminal loop.
 
 The reference edits every simulation parameter at runtime with immediate
 visual feedback (main.gd:57-121: per-cascade tabs for all spectrum/scale
-fields, resolution and update-rate combos, FPS readout). This module provides
-that capability for the TPU session: a full-screen ANSI viewer that renders
-the live height/foam field while routing keystrokes to `Ocean.set_cascade`
-(dirty-bit spectrum regeneration on the next update — the same path the
-reference's setters take), `Ocean.resize`, and the update-rate scheduler.
+fields, resolution and update-rate combos, FPS readout) and is flown through
+with a mouse-captured camera (camera.gd:15-47). This module provides both
+for the TPU session: a full-screen ANSI viewer that renders the live ocean —
+by default a 3D perspective view of the DISPLACED clipmap geometry
+(models/geometry.py; 'v' toggles the top-down height/foam field) — while
+routing keystrokes to `Ocean.set_cascade` (dirty-bit spectrum regeneration,
+the same path the reference's setters take), `Ocean.resize`, the update-rate
+scheduler, and a `FlyCamera` (wasd move, hjkl look, z/x down/up, m mesh
+quality).
 
 Usage: `python demo.py --live` (q quits). Headless/test use: pass `input_fn`
 (a callable returning pending keystrokes) and drive `run(max_frames=...)`.
@@ -41,7 +45,8 @@ PARAM_STEPS: dict[str, float] = {
 RESOLUTIONS = (128, 256, 512, 1024)  # the reference's combo (main.gd:68)
 
 KEY_HELP = ("[1-9] cascade  [tab/`] param  [+/-] adjust  [r] resolution  "
-            "[u/U] update rate  [q] quit")
+            "[u/U] update rate  [wasd] move  [hjkl] look  [z/x] down/up  "
+            "[v] view  [m] mesh  [q] quit")
 
 
 def _sample_field(maps, scales, extent: float, cols: int, rows: int):
@@ -80,6 +85,12 @@ def ansi_field(height: np.ndarray, foam: np.ndarray,
     base = wc_srgb * (0.25 + 1.05 * t) + np.float32(70.0) * t
     rgb = np.clip(base * (1 - f[..., None]) + fc_srgb * 1.25 * f[..., None],
                   0, 255).astype(np.uint8)
+    return ansi_rgb(rgb)
+
+
+def ansi_rgb(rgb: np.ndarray) -> str:
+    """Truecolor half-block encoding of an (H, W, 3) uint8 image
+    (2 image rows per text line)."""
     lines = []
     for y in range(0, rgb.shape[0] - 1, 2):
         row = []
@@ -92,11 +103,14 @@ def ansi_field(height: np.ndarray, foam: np.ndarray,
 
 
 class LiveViewer:
-    """Terminal session: simulate, render, edit — the C1/C14 capability."""
+    """Terminal session: simulate, render, edit, fly — the C1/C2/C14
+    capability."""
 
     def __init__(self, ocean, fps: float = 20.0, cols: int = 96,
                  rows: int = 44, extent: float | None = None,
-                 input_fn: Callable[[], str] | None = None, output=None):
+                 input_fn: Callable[[], str] | None = None, output=None,
+                 view: str = "3d", mesh_quality: str = "low"):
+        from ..models.camera import FlyCamera
         self.ocean = ocean
         self.dt = 1.0 / fps
         self.cols, self.rows = cols, rows
@@ -108,6 +122,11 @@ class LiveViewer:
         self.param_idx = 0
         self.stats = FrameStats()
         self.quit = False
+        self.view = view                      # "3d" | "field" ('v' toggles)
+        self.mesh_quality = mesh_quality      # water.gd:43-46 ('m' toggles)
+        self.camera = FlyCamera(
+            position=np.array([0.0, 10.0, -30.0]), pitch=-0.25)
+        self._render3d = None                 # built lazily per mesh quality
         self._input_fn = input_fn
         self._out = output if output is not None else sys.stdout
         self._maps = None
@@ -166,6 +185,20 @@ class LiveViewer:
                 o.set_cascades(stacks)
                 self.cascade = min(self.cascade, want - 1)
                 self._maps = None
+        # --- fly camera (camera.gd:15-47) + view toggles ---
+        elif ch in "wasdzx":
+            move = {"w": (1, 0, 0), "s": (-1, 0, 0), "a": (0, -1, 0),
+                    "d": (0, 1, 0), "x": (0, 0, 1), "z": (0, 0, -1)}[ch]
+            self.camera.move(0.15, *move)
+        elif ch in "hjkl":
+            dx, dy = {"h": (-24, 0), "l": (24, 0),
+                      "k": (0, -24), "j": (0, 24)}[ch]
+            self.camera.look(dx, dy)
+        elif ch == "v":
+            self.view = "field" if self.view == "3d" else "3d"
+        elif ch == "m":
+            self.mesh_quality = "high" if self.mesh_quality == "low" else "low"
+            self._render3d = None
 
     # --- frame loop ------------------------------------------------------
 
@@ -175,12 +208,34 @@ class LiveViewer:
         val = np.asarray(getattr(o.params, name))[self.cascade]
         val = float(np.atleast_1d(val)[0])
         s = self.stats.summary()
+        cam = self.camera.position
+        pose = (f"cam [{cam[0]:.0f} {cam[1]:.0f} {cam[2]:.0f}]  "
+                if self.view == "3d" else "")
         return (f"cascade {self.cascade + 1}/{o.num_cascades}  "
                 f"{name}={val:.2f}  map {o.config.map_size}^2  "
-                f"ups={o.updates_per_second:g}  "
+                f"ups={o.updates_per_second:g}  {pose}"
                 f"{s.get('fps', 0.0):.1f} fps / {s.get('ms_p50', 0.0):.1f} ms")
 
+    def _build_render3d(self):
+        import jax
+        import jax.numpy as jnp
+
+        from ..models import geometry
+        coords = jnp.asarray(geometry.clipmap_axis_coords(self.mesh_quality))
+        w, h = self.cols, self.rows * 2      # half-blocks: 2 pixels per line
+
+        def render(maps, scales, wc, fc, pos, pitch, yaw):
+            img = geometry.render_ocean_geometry(
+                maps, scales, coords, width=w, height=h, camera_pos=pos,
+                pitch_deg=pitch, yaw_deg=yaw, environment=True,
+                march_steps=28, bisect_steps=6,
+                water_color=wc, foam_color=fc)
+            return (jnp.clip(img, 0.0, 1.0) ** (1 / 2.2) * 255).astype(jnp.uint8)
+
+        return jax.jit(render)
+
     def frame(self) -> str:
+        import jax.numpy as jnp
         t0 = time.perf_counter()
         maps = self.ocean.update(self.dt)
         if maps is not None:
@@ -188,11 +243,24 @@ class LiveViewer:
         if self._maps is None:
             return ""
         scales = self.ocean.params.map_scales()
-        height, foam = _sample_field_jit(
-            self._maps, scales, self.extent, self.cols, self.rows)
-        body = ansi_field(np.asarray(height), np.asarray(foam),
-                          water_color=self.ocean.water_color,
-                          foam_color=self.ocean.foam_color)
+        if self.view == "3d":
+            if self._render3d is None:
+                self._render3d = self._build_render3d()
+            cam = self.camera
+            img = self._render3d(
+                self._maps, scales,
+                jnp.asarray(self.ocean.water_color),
+                jnp.asarray(self.ocean.foam_color),
+                jnp.asarray(cam.position, jnp.float32),
+                jnp.float32(np.rad2deg(cam.pitch)),
+                jnp.float32(np.rad2deg(cam.yaw)))
+            body = ansi_rgb(np.asarray(img))
+        else:
+            height, foam = _sample_field_jit(
+                self._maps, scales, self.extent, self.cols, self.rows)
+            body = ansi_field(np.asarray(height), np.asarray(foam),
+                              water_color=self.ocean.water_color,
+                              foam_color=self.ocean.foam_color)
         self.stats.record(time.perf_counter() - t0)
         return f"{body}\n{self.status_line()}\n{KEY_HELP}"
 

@@ -2,20 +2,29 @@
 
 Serves the live simulation as a self-refreshing image plus a parameter panel
 — the browser-fidelity companion to the ANSI `LiveViewer` (utils/live.py).
-Capability parity target is the reference's ImGui panel (main.gd:57-121):
-every cascade parameter editable at runtime with immediate visual feedback,
-resolution combo, update-rate control, FPS/frame-time readout.
+Capability parity target is the reference's interactive scene (C1/C2/C13 +
+the ImGui panel, main.gd:57-121): every cascade parameter editable at
+runtime with immediate visual feedback, resolution/mesh-quality combos,
+update-rate control, FPS/frame-time readout, a mouse-captured fly camera
+(camera.gd:15-47 — pointer-drag look, WASD/QE moves, wheel speed, shift
+sprint), and the 32768-particle spray system composited into every frame.
 
-Design: a sim thread steps `Ocean` and renders shaded frames on the device
-(models/shading.render_ocean — the C12 lighting model), encoding PNG under a
-lock; a stdlib ThreadingHTTPServer serves
+Design: a sim thread steps `Ocean`, advances `SprayState`, and renders
+shaded frames of the DISPLACED clipmap geometry on the device
+(models/geometry.render_ocean_geometry — silhouettes/parallax, the C12+C19
+visual), encoding JPEG under a lock; a stdlib ThreadingHTTPServer serves
     GET  /           the panel page (vanilla JS, no dependencies)
     GET  /frame.png  the latest rendered frame
-    GET  /state      JSON: params per cascade, config, frame stats
-    POST /set        {"cascade": i, "name": field, "value": v}  (or
-                     {"name": "map_size"|"updates_per_second", "value": v})
-No external packages; runs over the same `Ocean.set_cascade` dirty-bit API
-the reference's setters map to (wave_cascade_parameters.gd:7-38).
+    GET  /state      JSON: params per cascade, config, camera, frame stats
+    POST /set        {"cascade": i, "name": field, "value": v}, plus
+                     map_size / mesh_quality / updates_per_second / spray /
+                     water_color / foam_color / num_cascades /
+                     camera_look [dx,dy] / camera_move [f,s,r,sprint,dt] /
+                     camera_speed clicks
+Camera pose rides as TRACED render args (FlyCamera -> jnp scalars), so
+flying never retraces the jitted renderer — the same trick as the color
+pickers. No external packages; edits run over the same `Ocean.set_cascade`
+dirty-bit API the reference's setters map to.
 
 Usage: `python demo.py --web [--port 8000]`, then open http://localhost:8000.
 """
@@ -30,6 +39,7 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 import numpy as np
 
 from ..models import shading
+from ..models.camera import FlyCamera
 from .live import PARAM_STEPS, RESOLUTIONS
 from .observability import FrameStats
 
@@ -56,7 +66,9 @@ _PAGE = """<!doctype html>
 <style>
  body { font: 13px system-ui, sans-serif; background: #10141a; color: #cdd6e4;
         display: flex; gap: 16px; margin: 16px; }
- #view img { width: 100%%; border-radius: 6px; display: block; }
+ #view img { width: 100%%; border-radius: 6px; display: block; cursor: grab;
+             user-select: none; -webkit-user-drag: none; }
+ #view img.dragging { cursor: grabbing; }
  #view { flex: 1; min-width: 0; }
  #panel { width: 300px; flex: none; }
  .row { display: flex; align-items: center; gap: 6px; margin: 3px 0; }
@@ -66,9 +78,12 @@ _PAGE = """<!doctype html>
  select, button { background: #1c2430; color: inherit; border: 1px solid #334;
                   border-radius: 4px; padding: 2px 6px; }
  #stats { margin-top: 8px; color: #8aa; white-space: pre; }
+ #help { margin-top: 6px; color: #678; font-size: 11px; }
  h3 { margin: 4px 0 8px; }
 </style></head><body>
-<div id="view"><img id="frame" src="/frame.png"></div>
+<div id="view"><img id="frame" src="/frame.png" draggable="false">
+ <div id="help">drag to look &middot; WASD move &middot; Q/E down/up &middot;
+  shift sprint &middot; wheel speed</div></div>
 <div id="panel">
  <h3>ocean panel</h3>
  <div class="row"><label>cascade</label><select id="cascade"></select></div>
@@ -79,6 +94,9 @@ _PAGE = """<!doctype html>
  <div class="row"><label>water color</label><input id="wcolor" type="color"></div>
  <div class="row"><label>foam color</label><input id="fcolor" type="color"></div>
  <div class="row"><label>map size</label><select id="mapsize"></select></div>
+ <div class="row"><label>mesh quality</label><select id="meshq">
+   <option>low</option><option>high</option></select></div>
+ <div class="row"><label>spray</label><input id="spray" type="checkbox"></div>
  <div class="row"><label>updates/s</label>
    <input id="ups" type="range" min="0" max="60" step="1">
    <span class="val" id="upsv"></span></div>
@@ -89,9 +107,9 @@ const RANGES = %(ranges)s;
 let state = null, cascade = 0;
 const el = id => document.getElementById(id);
 
-async function post(body) {
+async function post(body, refresh = true) {
   await fetch('/set', {method: 'POST', body: JSON.stringify(body)});
-  await refreshState();
+  if (refresh) await refreshState();
 }
 function slider(name, value) {
   const [lo, hi, step] = RANGES[name];
@@ -123,6 +141,8 @@ async function refreshState() {
     ms.onchange = () => post({name: 'map_size', value: Number(ms.value)});
   }
   ms.value = state.map_size;
+  el('meshq').value = state.mesh_quality;
+  el('spray').checked = state.spray;
   el('ncasc').textContent = state.cascades.length;
   if (document.activeElement !== el('wcolor')) el('wcolor').value = hex(state.water_color);
   if (document.activeElement !== el('fcolor')) el('fcolor').value = hex(state.foam_color);
@@ -131,7 +151,8 @@ async function refreshState() {
   el('upsv').textContent = state.updates_per_second;
   el('stats').textContent =
     `sim ${state.fps.toFixed(1)} fps  ${state.ms_frame.toFixed(1)} ms/frame\\n` +
-    `frame ${state.frame}`;
+    `frame ${state.frame}  cam [${state.camera.map(v => v.toFixed(1))}]  ` +
+    `speed ${state.camera_speed.toFixed(1)}`;
   rebuildParams();
 }
 el('cascade').onchange = e => { cascade = Number(e.target.value); rebuildParams(); };
@@ -144,12 +165,41 @@ function rgb(hexstr) {  // #rrggbb -> sRGB [0,1]
 }
 el('wcolor').onchange = e => post({name: 'water_color', value: rgb(e.target.value)});
 el('fcolor').onchange = e => post({name: 'foam_color', value: rgb(e.target.value)});
+el('meshq').onchange = e => post({name: 'mesh_quality', value: e.target.value});
+el('spray').onchange = e => post({name: 'spray', value: e.target.checked});
 el('addcasc').onclick = () => post({name: 'num_cascades',
                                     value: state.cascades.length + 1});
 el('subcasc').onclick = () => { cascade = 0;
   post({name: 'num_cascades', value: state.cascades.length - 1}); };
 el('ups').onchange = e => post({name: 'updates_per_second',
                                 value: Number(e.target.value)});
+
+// --- fly camera (camera.gd:15-47 over HTTP) ---
+const frame = el('frame');
+let dragging = false, accX = 0, accY = 0;
+frame.onpointerdown = e => { dragging = true; frame.classList.add('dragging');
+                             frame.setPointerCapture(e.pointerId); };
+frame.onpointerup = e => { dragging = false; frame.classList.remove('dragging'); };
+frame.onpointermove = e => { if (dragging) { accX += e.movementX; accY += e.movementY; } };
+setInterval(() => {
+  if (accX || accY) { post({name: 'camera_look', value: [accX, accY]}, false);
+                      accX = 0; accY = 0; }
+}, 60);
+frame.onwheel = e => { e.preventDefault();
+  post({name: 'camera_speed', value: e.deltaY < 0 ? 1 : -1}, false); };
+const keys = new Set();
+addEventListener('keydown', e => {
+  if (e.target.tagName === 'INPUT' || e.target.tagName === 'SELECT') return;
+  keys.add(e.key.toLowerCase()); });
+addEventListener('keyup', e => keys.delete(e.key.toLowerCase()));
+setInterval(() => {
+  const f = (keys.has('w') ? 1 : 0) - (keys.has('s') ? 1 : 0);
+  const s = (keys.has('d') ? 1 : 0) - (keys.has('a') ? 1 : 0);
+  const r = (keys.has('e') ? 1 : 0) - (keys.has('q') ? 1 : 0);
+  if (f || s || r) post({name: 'camera_move',
+    value: [f, s, r, keys.has('shift') ? 1 : 0, 0.09]}, false);
+}, 90);
+
 async function frameLoop() {
   for (;;) {
     try {
@@ -184,50 +234,130 @@ class WebViewer:
     `run()` to block."""
 
     def __init__(self, ocean, fps: float = 12.0, width: int = 640,
-                 height: int = 360, environment: bool = True):
+                 height: int = 360, environment: bool = True,
+                 mesh_quality: str = "low", flat: bool = False,
+                 spray: bool = False, spray_particles: int = 32768):
         self.ocean = ocean
         self.environment = environment
         self.fps = fps
         self.width = width
         self.height = height
+        self.flat = flat
         self.stats = FrameStats()
-        # Two locks so the panel stays responsive while device work runs:
+        # the reference's fly camera (camera.gd); pose is traced render args
+        self.camera = FlyCamera()
+        self.mesh_quality = mesh_quality
+        # spray system (C13, main.tscn:133-140): persistent state advanced
+        # in the sim thread, composited before encode
+        self.spray_enabled = spray
+        self._spray_particles = spray_particles
+        self._spray_state = None
+        self._spray_clock = 0.0
+        # Three locks so the panel stays responsive while device work runs:
         # _ocean_lock serializes Ocean access (sim step vs /set edits);
-        # _frame_lock guards only the encoded-frame/state-cache swap, so
-        # GET /frame.png and /state never wait on a cold compile.
+        # _cam_lock guards the host-side camera/toggles (instant edits that
+        # must not wait on a device step); _frame_lock guards only the
+        # encoded-frame/state-cache swap.
         self._ocean_lock = threading.Lock()
+        self._cam_lock = threading.Lock()
         self._frame_lock = threading.Lock()
         self._png, self._mime = _frame_bytes(
             np.zeros((height, width, 3), np.uint8))
         self._frame_no = 0
         self._state_cache: dict | None = None
-        # global colors (water.gd:14-18) live on the Ocean session — ONE
-        # source of truth shared with the ANSI viewer and demo renders; the
-        # panel's pickers edit it. Passed as traced render args, so edits do
-        # NOT retrace the jitted render.
         self._stop = threading.Event()
         self._server: ThreadingHTTPServer | None = None
         self._threads: list[threading.Thread] = []
-        # jitted render: eager render_ocean is ~100 dispatches/frame, which
-        # costs seconds through the tunnel relay; jitted it is one dispatch
-        # (retraces automatically on resize — maps shape is part of the key)
-        # gamma + uint8 quantization happen ON DEVICE: the host link through
-        # the relay is ~5 MB/s, so shipping fp32 RGB costs ~0.5 s/frame;
-        # uint8 is 12x smaller
+        self._build_renderers()
+
+    def _build_renderers(self) -> None:
+        """Jitted render paths: one device dispatch per frame. Camera pose,
+        colors, and spray attributes are traced args — editing/flying
+        never retraces. gamma + uint8 quantization happen ON DEVICE (the
+        relay link is ~5 MB/s; uint8 is 12x smaller than fp32)."""
         import jax
         import jax.numpy as jnp
 
-        def _render(maps, scales, water_color, foam_color):
-            img = shading.render_ocean(maps, scales, width=self.width,
-                                       height=self.height,
-                                       environment=self.environment,
-                                       water_color=water_color,
-                                       foam_color=foam_color)
+        from ..models import geometry
+
+        coords = jnp.asarray(geometry.clipmap_axis_coords(self.mesh_quality))
+
+        def _scene(maps, scales, wc, fc, pos, pitch, yaw):
+            if self.flat:
+                return shading.render_ocean(
+                    maps, scales, width=self.width, height=self.height,
+                    camera_pos=pos, pitch_deg=pitch, yaw_deg=yaw,
+                    environment=self.environment,
+                    water_color=wc, foam_color=fc)
+            return geometry.render_ocean_geometry(
+                maps, scales, coords, width=self.width, height=self.height,
+                camera_pos=pos, pitch_deg=pitch, yaw_deg=yaw,
+                environment=self.environment,
+                water_color=wc, foam_color=fc)
+
+        def _quantize(img):
             return (jnp.clip(img, 0.0, 1.0) ** (1 / 2.2) * 255).astype(jnp.uint8)
 
+        def _render(maps, scales, wc, fc, pos, pitch, yaw):
+            return _quantize(_scene(maps, scales, wc, fc, pos, pitch, yaw))
+
+        def _render_spray(maps, scales, wc, fc, pos, pitch, yaw, attrs):
+            img = _scene(maps, scales, wc, fc, pos, pitch, yaw)
+            img = shading.splat_spray(
+                img, attrs["position"], attrs["scale"], attrs["dissolve"],
+                attrs["visible"], camera_pos=pos, pitch_deg=pitch,
+                yaw_deg=yaw, foam_color=fc)
+            return _quantize(img)
+
         self._render = jax.jit(_render)
+        self._render_spray = jax.jit(_render_spray)
+
+    # --- camera / host-side edits (instant; _cam_lock) --------------------
+    def _apply_camera(self, name: str, value) -> None:
+        with self._cam_lock:
+            if name == "camera_look":
+                dx, dy = float(value[0]), float(value[1])
+                self.camera.look(dx, dy)
+            elif name == "camera_move":
+                f, s, r, sprint, dt = [float(v) for v in value]
+                self.camera.move(dt, forward=f, strafe=s, rise=r,
+                                 sprint=bool(sprint))
+            elif name == "camera_speed":
+                self.camera.scroll(int(value))
+            elif name == "spray":
+                self.spray_enabled = bool(value)
+            else:
+                raise KeyError(name)
+
+    def _camera_args(self):
+        """Traced pose args + snap-follow mesh center (main.gd:32-37)."""
+        import jax.numpy as jnp
+        with self._cam_lock:
+            pos = np.asarray(self.camera.position, np.float32)
+            pitch = float(np.rad2deg(self.camera.pitch))
+            yaw = float(np.rad2deg(self.camera.yaw))
+        return (jnp.asarray(pos), jnp.float32(pitch), jnp.float32(yaw))
 
     # --- simulation/render loop ------------------------------------------
+    def _advance_spray(self, maps, scales, dt):
+        import functools
+
+        import jax
+
+        from ..models import spray as spray_mod
+        if self._spray_state is None:
+            self._spray_params = spray_mod.SprayParams(
+                num_particles=self._spray_particles, emitter_extent=60.0)
+            self._spray_state = spray_mod.spray_init(self._spray_params)
+            # one dispatch per frame through the relay, not ~50 eager ones
+            self._spray_step = jax.jit(functools.partial(
+                spray_mod.spray_step, self._spray_params))
+        self._spray_clock += dt
+        self._spray_state, attrs = self._spray_step(
+            self._spray_state, maps, scales,
+            np.float32(self._spray_clock))
+        return attrs
+
     def _sim_loop(self) -> None:
         dt = 1.0 / self.fps
         maps = None
@@ -236,13 +366,20 @@ class WebViewer:
             with self._ocean_lock:
                 maps = self.ocean.update(dt) or maps
                 scales = self.ocean.params.map_scales()
-                wc, fc = self.ocean.water_color, self.ocean.foam_color
+                wc = np.asarray(self.ocean.water_color, np.float32)
+                fc = np.asarray(self.ocean.foam_color, np.float32)
                 snap = self._snapshot_ocean()
             if maps is None:           # scheduler skipped the very first tick
                 self._stop.wait(dt)
                 continue
-            png, mime = _frame_bytes(np.asarray(self._render(maps, scales,
-                                                             wc, fc)))
+            pos, pitch, yaw = self._camera_args()
+            if self.spray_enabled:
+                attrs = self._advance_spray(maps, scales, dt)
+                img = self._render_spray(maps, scales, wc, fc,
+                                         pos, pitch, yaw, attrs)
+            else:
+                img = self._render(maps, scales, wc, fc, pos, pitch, yaw)
+            png, mime = _frame_bytes(np.asarray(img))
             took = time.perf_counter() - t0
             self.stats.record(took)
             with self._frame_lock:
@@ -282,15 +419,28 @@ class WebViewer:
             with self._ocean_lock:
                 snap = self._snapshot_ocean()
         s = self.stats.summary()
+        with self._cam_lock:
+            cam = [float(v) for v in self.camera.position]
+            speed = float(self.camera.speed)
+            spray_on = self.spray_enabled
         return {**snap, "fps": s["fps"], "ms_frame": s["ms_mean"],
-                "frame": frame_no}
+                "frame": frame_no, "camera": cam, "camera_speed": speed,
+                "spray": spray_on, "mesh_quality": self.mesh_quality}
 
     def _apply(self, req: dict) -> None:
         name = req["name"]
         value = req["value"]
+        if name in ("camera_look", "camera_move", "camera_speed", "spray"):
+            self._apply_camera(name, value)
+            return
         with self._ocean_lock:
             if name == "map_size":
                 self.ocean.resize(int(value))
+            elif name == "mesh_quality":
+                if value not in ("low", "high"):
+                    raise KeyError(value)
+                self.mesh_quality = value
+                self._build_renderers()
             elif name in ("water_color", "foam_color"):
                 # page sends sRGB [r,g,b] in [0,1]; shade() wants linear
                 # (the reference converts too: water.gd srgb_to_linear)

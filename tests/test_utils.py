@@ -260,3 +260,32 @@ def test_live_viewer_resolution_cycle():
                         input_fn=lambda: next(script, "q"), output=io.StringIO())
     viewer.run(max_frames=4)
     assert ocean.config.map_size == 256  # cycled 128 -> 256 (main.gd:68 combo)
+
+
+def test_live_viewer_fly_camera_and_views():
+    """ANSI surface flies the camera (camera.gd keys) and toggles between
+    the 3D displaced-geometry view and the top-down field view."""
+    import io
+
+    import numpy as np
+
+    from godotoceanwaves_tpu import Ocean
+    from godotoceanwaves_tpu.utils.live import LiveViewer
+
+    ocean = Ocean(map_size=32, updates_per_second=0)
+    script = iter(["w", "w", "l", "k", "x", "m", "v", "", "v", "q"])
+    out = io.StringIO()
+    viewer = LiveViewer(ocean, fps=30.0, cols=20, rows=8,
+                        input_fn=lambda: next(script, "q"), output=out)
+    pos0 = viewer.camera.position.copy()
+    yaw0, pitch0 = viewer.camera.yaw, viewer.camera.pitch
+    assert viewer.view == "3d"
+    viewer.run(max_frames=12)
+
+    assert np.linalg.norm(viewer.camera.position - pos0) > 1.0   # moved
+    assert viewer.camera.yaw != yaw0 and viewer.camera.pitch != pitch0
+    assert viewer.mesh_quality == "high"                         # 'm' toggled
+    assert viewer.view == "3d"                                   # v toggled twice
+    text = out.getvalue()
+    assert "cam [" in text            # 3d status line shows the pose
+    assert "\x1b[38;2;" in text       # rendered half-blocks

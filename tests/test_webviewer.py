@@ -84,3 +84,50 @@ def test_webviewer_serves_and_edits_parameters():
             assert e.code == 400
     finally:
         viewer.stop()
+
+
+def test_webviewer_fly_camera_and_spray():
+    """The browser surface drives the reference's fly camera (camera.gd:15-47)
+    and the spray system (main.tscn:133-140) through POST /set."""
+    ocean = Ocean(map_size=64, updates_per_second=0)
+    viewer = WebViewer(ocean, fps=30.0, width=64, height=36,
+                       spray=False, spray_particles=256)
+    port = viewer.start(port=0)
+    try:
+        state = json.loads(_get(port, "/state")[2])
+        assert state["mesh_quality"] == "low" and state["spray"] is False
+        pos0 = np.asarray(state["camera"])
+        yaw0, pitch0 = viewer.camera.yaw, viewer.camera.pitch
+
+        # pointer-drag look: yaw/pitch move with the camera.gd sensitivity
+        assert _post(port, {"name": "camera_look", "value": [40, -20]}) == 200
+        assert viewer.camera.yaw == yaw0 - 40 * 0.005
+        assert viewer.camera.pitch == pitch0 + 20 * 0.005
+
+        # WASD move in the look frame; wheel speed scaling
+        assert _post(port, {"name": "camera_move",
+                            "value": [1, 0, 0, 0, 0.5]}) == 200
+        state = json.loads(_get(port, "/state")[2])
+        moved = np.asarray(state["camera"])
+        assert np.linalg.norm(moved - pos0) > 1.0
+        speed0 = viewer.camera.speed
+        assert _post(port, {"name": "camera_speed", "value": 2}) == 200
+        assert viewer.camera.speed > speed0
+
+        # spray toggle: state machine advances in the sim loop
+        assert _post(port, {"name": "spray", "value": True}) == 200
+        deadline = time.time() + 60
+        frames0 = json.loads(_get(port, "/state")[2])["frame"]
+        while time.time() < deadline:
+            s = json.loads(_get(port, "/state")[2])
+            if s["frame"] >= frames0 + 2 and viewer._spray_state is not None:
+                break
+            time.sleep(0.2)
+        assert viewer._spray_state is not None, "spray never advanced"
+        assert s["spray"] is True
+
+        # mesh quality switch rebuilds the renderer
+        assert _post(port, {"name": "mesh_quality", "value": "high"}) == 200
+        assert json.loads(_get(port, "/state")[2])["mesh_quality"] == "high"
+    finally:
+        viewer.stop()
