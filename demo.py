@@ -99,13 +99,17 @@ def main() -> None:
 
     if args.live:
         from godotoceanwaves_tpu.utils.live import LiveViewer
-        LiveViewer(ocean, fps=args.fps).run()
+        LiveViewer(ocean, fps=args.fps, mesh_quality=args.mesh_quality,
+                   spray=args.spray,
+                   spray_particles=args.spray_particles).run()
         return
 
     if args.web:
         from godotoceanwaves_tpu.utils.webviewer import WebViewer
         WebViewer(ocean, fps=min(args.fps, 15.0),
-                  width=args.width, height=args.height).run(port=args.port)
+                  width=args.width, height=args.height, flat=args.flat,
+                  mesh_quality=args.mesh_quality, spray=args.spray,
+                  spray_particles=args.spray_particles).run(port=args.port)
         return
 
     stats = FrameStats()
@@ -139,9 +143,8 @@ def main() -> None:
             environment=args.environment, water_color=wc, foam_color=fc))
     else:
         from godotoceanwaves_tpu.models import geometry
-        coords = jnp.asarray(geometry.clipmap_axis_coords(args.mesh_quality))
         render = jax.jit(lambda m, s, wc, fc: geometry.render_ocean_geometry(
-            m, s, coords, width=args.width, height=args.height,
+            m, s, args.mesh_quality, width=args.width, height=args.height,
             environment=args.environment, water_color=wc, foam_color=fc))
     for i in range(args.frames):
         t0 = time.perf_counter()

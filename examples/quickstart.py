@@ -44,13 +44,17 @@ sstate, storm_maps = step(config, sstate, solo, 1 / 60)
 print("storm height rms:", float(np.std(np.asarray(
     storm_maps.displacement[:, 1], dtype=np.float32))))
 
-# --- 5. shaded offline render driven by a fly camera
+# --- 5. shaded render of the DISPLACED clipmap geometry, fly-camera driven
+from godotoceanwaves_tpu.models import geometry
+
 cam = FlyCamera()
 cam.move(1.0, forward=-1.0)        # back up 10 m
 cam.look(0.0, -20.0)               # tilt down a touch
-img = shading.render_ocean(ocean.maps, ocean.params.map_scales(),
-                           width=320, height=180, **cam.render_kwargs())
-print("rendered:", img.shape)
+img = geometry.render_ocean_geometry(
+    ocean.maps, ocean.params.map_scales(), "low",
+    width=320, height=180, **cam.render_kwargs())
+print("rendered (displaced geometry):", img.shape)
+# (shading.render_ocean is the cheap flat-plane preview of the same maps)
 
 # --- 6. observability
 stats = FrameStats()

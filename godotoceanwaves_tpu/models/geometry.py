@@ -129,6 +129,102 @@ def surface_height(grid: jax.Array, coords: jax.Array, center_xz: jax.Array,
     return s[..., 1], (px, pz)
 
 
+@functools.lru_cache(maxsize=8)
+def _uniform_resample_tables(quality: str, uniform_res: int):
+    """Static gather tables mapping the graded clipmap grid onto a UNIFORM
+    (G, G) grid over the same footprint.
+
+    The graded->uniform correspondence depends only on the mesh (not the
+    frame), so the binary search happens HERE, once, in NumPy — the device
+    render then resamples with constant-index gathers and marches with
+    arithmetic indexing. This is the accel path's whole trick: per-sample
+    `searchsorted` on TPU costs ~10x the actual interpolation.
+    Returns (i0 (G,), f (G,) fractions, origin, cell) for one axis (the
+    grid is isotropic and shared by both axes).
+    """
+    coords = clipmap_axis_coords(quality)
+    g = uniform_res
+    u = np.linspace(coords[0], coords[-1], g).astype(np.float32)
+    i0 = np.clip(np.searchsorted(coords, u) - 1, 0, len(coords) - 2)
+    f = (u - coords[i0]) / (coords[i0 + 1] - coords[i0])
+    return (i0.astype(np.int32), np.clip(f, 0.0, 1.0).astype(np.float32),
+            float(coords[0]), float((coords[-1] - coords[0]) / (g - 1)))
+
+
+def uniform_from_graded(grid: jax.Array, quality: str, uniform_res: int
+                        ) -> jax.Array:
+    """Resample the displaced (k, k, 3) graded grid to (G, G, 3) uniform,
+    using the static tables (constant-index gathers — no searchsorted)."""
+    i0, f, _, _ = _uniform_resample_tables(quality, uniform_res)
+    i0 = jnp.asarray(i0)
+    f = jnp.asarray(f)
+    rows = (grid[i0] * (1 - f)[:, None, None]
+            + grid[i0 + 1] * f[:, None, None])            # (G, k, 3) over z
+    cols = (rows[:, i0] * (1 - f)[None, :, None]
+            + rows[:, i0 + 1] * f[None, :, None])         # (G, G, 3)
+    return cols
+
+
+def _hat_weights(f: jax.Array, g: int) -> jax.Array:
+    """(..., g) bilinear hat weights: w[i] = max(0, 1 - |f - i|) — a 2-sparse
+    row whose dot with a table column performs exact linear interpolation.
+
+    This is the gather-free sampling trick: TPU has no fast hardware gather
+    (measured ~12 ms per full-res bilinear at 640x360, docs/PERF.md), but
+    hat-weights x table is VPU compares + an MXU matmul."""
+    iota = jnp.arange(g, dtype=jnp.float32)
+    return jnp.maximum(0.0, 1.0 - jnp.abs(f[..., None] - iota)
+                       ).astype(jnp.bfloat16)
+
+
+def _mxu_sample(table: jax.Array, origin, cell, center_xz: jax.Array,
+                qx: jax.Array, qz: jax.Array) -> jax.Array:
+    """Bilinear sample of a uniform (G, G) or (G, G, C) table at world
+    (qx, qz) via hat-weight einsums (MXU path, zero gathers).
+
+    bf16 weights/table with fp32 accumulation: |error| <~ 2^-8 of the value
+    scale (centimeters on wave heights) — plenty for intersection tests;
+    exact-rounding consumers should use the gather sampler."""
+    g = table.shape[0]
+    fx = jnp.clip((qx - center_xz[0] - origin) / cell, 0.0, g - 1.001)
+    fz = jnp.clip((qz - center_xz[1] - origin) / cell, 0.0, g - 1.001)
+    wz = _hat_weights(fz, g)
+    wx = _hat_weights(fx, g)
+    tb = table.astype(jnp.bfloat16)
+    if table.ndim == 2:
+        rows = jnp.einsum("...g,gk->...k", wz, tb,
+                          preferred_element_type=jnp.float32)
+        return jnp.einsum("...k,...k->...", rows, wx.astype(jnp.float32))
+    rows = jnp.einsum("...g,gkc->...kc", wz, tb,
+                      preferred_element_type=jnp.float32)
+    return jnp.einsum("...kc,...k->...c", rows, wx.astype(jnp.float32))
+
+
+def _downsample_axis_tables(quality: str, res: int):
+    """Static resample tables at a secondary resolution (the mxu march
+    table can be coarser than the shading-fidelity uniform grid)."""
+    return _uniform_resample_tables(quality, res)
+
+
+def _uniform_sample(ugrid: jax.Array, origin, cell, center_xz: jax.Array,
+                    qx: jax.Array, qz: jax.Array) -> jax.Array:
+    """Bilinear sample of the uniform (G, G, 3) grid at world (qx, qz):
+    arithmetic indices only."""
+    g = ugrid.shape[0]
+    fx = jnp.clip((qx - center_xz[0] - origin) / cell, 0.0, g - 1.001)
+    fz = jnp.clip((qz - center_xz[1] - origin) / cell, 0.0, g - 1.001)
+    i = fx.astype(jnp.int32)
+    j = fz.astype(jnp.int32)
+    ax = (fx - i)[..., None]
+    az = (fz - j)[..., None]
+    v00 = ugrid[j, i]
+    v10 = ugrid[j, i + 1]
+    v01 = ugrid[j + 1, i]
+    v11 = ugrid[j + 1, i + 1]
+    return ((v00 * (1 - ax) + v10 * ax) * (1 - az)
+            + (v01 * (1 - ax) + v11 * ax) * az)
+
+
 def camera_rays(width: int, height: int, pitch_deg, yaw_deg, fov_deg):
     """Pixel ray directions (H, W, 3) for the FlyCamera basis convention
     (same math as shading.render_ocean)."""
@@ -150,7 +246,7 @@ def camera_rays(width: int, height: int, pitch_deg, yaw_deg, fov_deg):
 def render_ocean_geometry(
     maps,                       # OceanMaps (channel-first planes)
     map_scales: jax.Array,      # (C, 4)
-    coords: jax.Array,          # (k,) clipmap axis (clipmap_axis_coords)
+    quality: str = "high",      # clipmap grading (water.gd:43-46)
     width: int = 960,
     height: int = 540,
     camera_pos=(0.0, 12.0, 0.0),
@@ -163,7 +259,12 @@ def render_ocean_geometry(
     march_steps: int = 40,
     bisect_steps: int = 8,
     chop_iters: int = 1,
+    march_chop_iters: int = 0,
     far: float = 1600.0,
+    accel: str = "uniform",     # "uniform" (fast march grid) | "exact"
+    uniform_res: int = 512,
+    sampler: str = "auto",      # "auto" | "mxu" | "gather" (uniform accel)
+    march_res: int = 256,       # mxu march-table resolution (2 m cells)
     **shade_kwargs,
 ) -> jax.Array:
     """Perspective render of the DISPLACED clipmap mesh -> (H, W, 3) RGB.
@@ -172,7 +273,16 @@ def render_ocean_geometry(
     capability of the reference's vertex-displaced rasterization,
     water.gdshader:29-38) inside the mesh footprint, and fall back to the
     flat y=0 plane beyond it. Camera pose arguments are traced (pass jnp
-    scalars to fly without retracing).
+    scalars to fly without retracing); `quality`/`accel` are Python-level
+    (part of the trace).
+
+    accel="uniform" (default, ~50x faster on TPU): the displaced graded
+    grid is resampled once per frame onto a uniform grid via STATIC gather
+    tables, and the march/bisect index it arithmetically — per-sample
+    `searchsorted` on the graded axis is what made the exact path
+    5 s/frame at 640x360 (docs/PERF.md). The uniform cell (512 m / G) is
+    the accel path's geometric resolution; "exact" marches the graded mesh
+    interpolant itself (tests pin the two within tolerance).
     """
     cam = jnp.asarray(camera_pos, jnp.float32)
     if center_xz is None:
@@ -181,11 +291,61 @@ def render_ocean_geometry(
         center_xz = jnp.ceil(cam[jnp.array([0, 2])])
     else:
         center_xz = jnp.asarray(center_xz, jnp.float32)
+    coords = jnp.asarray(clipmap_axis_coords(quality))
     d = camera_rays(width, height, pitch_deg, yaw_deg, fov_deg)
     light = jnp.asarray(light_dir, jnp.float32)
     light = light / jnp.linalg.norm(light)
 
     grid = displaced_grid(maps, map_scales, coords, center_xz, cam)
+    if sampler == "auto":
+        # gathers are the TPU bottleneck (~12 ms per full-res bilinear,
+        # docs/PERF.md); the hat-weight MXU sampler replaces them wholesale.
+        # On CPU gathers are cheap and matmuls are not — keep gather there.
+        sampler = "mxu" if jax.default_backend() == "tpu" else "gather"
+    if accel == "uniform" and sampler == "mxu":
+        ugrid = uniform_from_graded(grid, quality, uniform_res)
+        _, _, origin, cell = _uniform_resample_tables(quality, uniform_res)
+        mheight = uniform_from_graded(grid, quality, march_res)[..., 1]
+        _, _, morigin, mcell = _downsample_axis_tables(quality, march_res)
+
+        def sample(qx, qz):
+            return _mxu_sample(ugrid, origin, cell, center_xz, qx, qz)
+
+        def sample_h(qx, qz):
+            return _mxu_sample(mheight, morigin, mcell, center_xz, qx, qz)
+    elif accel == "uniform":
+        ugrid = uniform_from_graded(grid, quality, uniform_res)
+        _, _, origin, cell = _uniform_resample_tables(quality, uniform_res)
+        uheight = ugrid[..., 1:2]   # single-channel: the march's hot grid
+
+        def sample(qx, qz):
+            return _uniform_sample(ugrid, origin, cell, center_xz, qx, qz)
+
+        def sample_h(qx, qz):
+            return _uniform_sample(uheight, origin, cell, center_xz,
+                                   qx, qz)[..., 0]
+    else:
+        def sample(qx, qz):
+            return _grid_sample(grid, coords, center_xz, qx, qz)
+
+        def sample_h(qx, qz):
+            return sample(qx, qz)[..., 1]
+
+    def height_at(x, z, iters=chop_iters):
+        """Surface height + inverted param under world (x, z). iters=0
+        samples the height channel only (4 single-channel gathers — the
+        march's budget; chop shifts crests by <~2 m horizontally, which the
+        final shading-UV inversion still accounts for)."""
+        if iters == 0:
+            return sample_h(x, z), (x, z)
+        px, pz = x, z
+        for _ in range(iters):
+            s = sample(px, pz)
+            px = px - (s[..., 0] - x)
+            pz = pz - (s[..., 2] - z)
+        s = sample(px, pz)
+        return s[..., 1], (px, pz)
+
     y_max = jnp.max(grid[..., 1]) + 0.1
     y_min = jnp.min(grid[..., 1]) - 0.1
 
@@ -215,30 +375,47 @@ def render_ocean_geometry(
 
     def below_at(t):
         p = cam + t[..., None] * d
-        h, _ = surface_height(grid, coords, center_xz, p[..., 0], p[..., 2],
-                              chop_iters)
+        h, _ = height_at(p[..., 0], p[..., 2], iters=march_chop_iters)
         return p[..., 1] < h
 
-    def march_body(i, carry):
-        found, lo, hi = carry
-        t = t0 + (i + 1.0) * step
-        b = below_at(t) & marchable
-        newly = b & ~found
-        lo = jnp.where(newly, t - step, lo)
-        hi = jnp.where(newly, t, hi)
-        return found | b, lo, hi
+    # BATCHED intersection: every candidate depth is sampled in ONE
+    # vectorized evaluation, then the first crossing is an argmax — no
+    # sequential loop. (A lax.fori_loop march measured ~13 ms PER STEP on
+    # this backend while the identical gathers evaluated ~1000x faster
+    # batched outside the loop — XLA's fast gather lowering does not fire
+    # inside the while body; docs/PERF.md "geometry render".) Refinement is
+    # batched too: subdivide the bracketing interval 8-ways per round
+    # (= 3 bisection steps of precision per round).
+    def bracket(lo, hi, m, valid):
+        """First below-surface crossing among m samples of (lo, hi].
+
+        Python-unrolled over samples (all still parallel in the graph — no
+        carried dependency) so the mxu sampler's (H, W, G) hat-weight
+        intermediates exist one sample at a time instead of m at once."""
+        seg = (hi - lo) / m
+        slices = []
+        for idx in range(m):
+            t = lo + (idx + 1.0) * seg
+            p = cam + t[..., None] * d
+            h, _ = height_at(p[..., 0], p[..., 2], iters=march_chop_iters)
+            slices.append(p[..., 1] < h)
+        below = jnp.stack(slices) & valid[None]
+        hit = below.any(axis=0)
+        first = jnp.argmax(below, axis=0).astype(jnp.float32)
+        t_first = lo + (first + 1.0) * seg
+        return (hit,
+                jnp.where(hit, t_first - seg, lo),
+                jnp.where(hit, t_first, hi))
 
     found0 = below_at(t0) & marchable       # camera already under a crest
-    init = (found0, t0, t0 + step)
-    found, lo, hi = jax.lax.fori_loop(0, march_steps, march_body, init)
-
-    def bisect_body(_, carry):
-        lo, hi = carry
-        mid = 0.5 * (lo + hi)
-        b = below_at(mid)
-        return jnp.where(b, lo, mid), jnp.where(b, hi, mid)
-
-    lo, hi = jax.lax.fori_loop(0, bisect_steps, bisect_body, (lo, hi))
+    found, lo, hi = bracket(t0, t1, march_steps, marchable & ~found0)
+    lo = jnp.where(found0, t0, lo)
+    hi = jnp.where(found0, t0 + step, hi)
+    found = found | found0
+    # invariant: hi is below the surface for found pixels, so each round's
+    # last sub-sample re-hits and the bracket always tightens 8x
+    for _ in range(max(1, bisect_steps // 3)):
+        _, lo, hi = bracket(lo, hi, 8, found)
     t_hit = 0.5 * (lo + hi)
 
     # flat far-field: rays that miss the mesh but still descend hit y=0
@@ -250,8 +427,7 @@ def render_ocean_geometry(
     t_safe = jnp.where(hit, t_hit, 1.0)
     p = cam + t_safe[..., None] * d
     # fragment UV = pre-displacement param (water.gdshader:28)
-    _, (ux, uz) = surface_height(grid, coords, center_xz,
-                                 p[..., 0], p[..., 2], chop_iters)
+    _, (ux, uz) = height_at(p[..., 0], p[..., 2])
     ux = jnp.where(found, ux, p[..., 0])
     uz = jnp.where(found, uz, p[..., 2])
     uv = jnp.stack([ux, uz], axis=-1)

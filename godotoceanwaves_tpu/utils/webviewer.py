@@ -280,7 +280,7 @@ class WebViewer:
 
         from ..models import geometry
 
-        coords = jnp.asarray(geometry.clipmap_axis_coords(self.mesh_quality))
+        quality = self.mesh_quality
 
         def _scene(maps, scales, wc, fc, pos, pitch, yaw):
             if self.flat:
@@ -290,9 +290,12 @@ class WebViewer:
                     environment=self.environment,
                     water_color=wc, foam_color=fc)
             return geometry.render_ocean_geometry(
-                maps, scales, coords, width=self.width, height=self.height,
+                maps, scales, quality, width=self.width, height=self.height,
                 camera_pos=pos, pitch_deg=pitch, yaw_deg=yaw,
                 environment=self.environment,
+                # interactive tuning: 24+2x8 samples, ~112 ms/frame on the
+                # v5e at 640x360 with the MXU sampler (docs/PERF.md)
+                march_steps=24, bisect_steps=6,
                 water_color=wc, foam_color=fc)
 
         def _quantize(img):

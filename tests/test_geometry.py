@@ -77,9 +77,8 @@ def test_silhouette_differs_from_flat_render(ocean_maps):
     """Wave crests must rise above the flat-plane horizon: the geometry
     render shows water where the y=0 raycast shows sky."""
     maps, scales = ocean_maps
-    coords = jnp.asarray(geometry.clipmap_axis_coords("low"))
     geom = geometry.render_ocean_geometry(
-        maps, scales, coords, width=W, height=H, light_dir=LIGHT,
+        maps, scales, "low", width=W, height=H, light_dir=LIGHT,
         march_steps=28, bisect_steps=8, **CAM)
     flat = shading.render_ocean(maps, scales, width=W, height=H,
                                 light_dir=LIGHT, **CAM)
@@ -97,9 +96,8 @@ def test_zero_displacement_reduces_to_flat_plane(ocean_maps):
     renderers must agree (up to the march/bisect hit tolerance)."""
     maps, scales = ocean_maps
     zero = maps.replace(displacement=jnp.zeros_like(maps.displacement))
-    coords = jnp.asarray(geometry.clipmap_axis_coords("low"))
     geom = np.asarray(geometry.render_ocean_geometry(
-        zero, scales, coords, width=W, height=H, light_dir=LIGHT,
+        zero, scales, "low", width=W, height=H, light_dir=LIGHT,
         march_steps=28, bisect_steps=12, **CAM))
     flat = np.asarray(shading.render_ocean(zero, scales, width=W, height=H,
                                            light_dir=LIGHT, **CAM))
@@ -115,13 +113,12 @@ def test_geometry_render_is_jittable_with_traced_camera(ocean_maps):
     """Camera pose rides as traced args: moving the camera must not retrace
     (the fly-camera requirement for the live surfaces)."""
     maps, scales = ocean_maps
-    coords = jnp.asarray(geometry.clipmap_axis_coords("low"))
     traces = []
 
     def render(maps, scales, pos, pitch, yaw):
         traces.append(1)
         return geometry.render_ocean_geometry(
-            maps, scales, coords, width=64, height=36, camera_pos=pos,
+            maps, scales, "low", width=64, height=36, camera_pos=pos,
             pitch_deg=pitch, yaw_deg=yaw, march_steps=16, bisect_steps=4)
 
     jr = jax.jit(render)
@@ -132,3 +129,41 @@ def test_geometry_render_is_jittable_with_traced_camera(ocean_maps):
     assert len(traces) == 1, "camera motion retraced the renderer"
     assert np.isfinite(np.asarray(a)).all() and np.isfinite(np.asarray(b)).all()
     assert np.abs(np.asarray(a) - np.asarray(b)).mean() > 1e-3
+
+
+def test_uniform_accel_matches_exact(ocean_maps):
+    """accel="uniform" (static-table resample + arithmetic march — the
+    production path; the graded-axis searchsorted made "exact" 5 s/frame on
+    TPU, docs/PERF.md) must stay close to the exact graded-mesh march."""
+    maps, scales = ocean_maps
+    kw = dict(width=W, height=H, light_dir=LIGHT, march_steps=28,
+              bisect_steps=8, **CAM)
+    uni = np.asarray(geometry.render_ocean_geometry(
+        maps, scales, "low", accel="uniform", uniform_res=512, **kw))
+    exact = np.asarray(geometry.render_ocean_geometry(
+        maps, scales, "low", accel="exact", **kw))
+    diff = np.abs(uni - exact)
+    assert diff.mean() < 0.02
+    # silhouette agreement: sky masks differ only on a thin horizon band
+    sky_u, sky_e = _sky_mask(uni), _sky_mask(exact)
+    assert (sky_u != sky_e).mean() < 0.02
+
+
+def test_mxu_sampler_matches_gather(ocean_maps):
+    """The gather-free hat-weight MXU sampler must agree with the gather
+    sampler up to bf16 table/weight rounding (the TPU production sampler;
+    gathers measured ~12 ms per full-res bilinear there)."""
+    maps, scales = ocean_maps
+    kw = dict(width=W, height=H, light_dir=LIGHT, march_steps=24,
+              bisect_steps=6, **CAM)
+    # march_res matched to the gather path's grid so the comparison
+    # isolates the sampler (bf16 rounding + crossing shifts); production
+    # march_res=256 additionally trades ~20 cm of fine-wave height detail
+    mxu = np.asarray(geometry.render_ocean_geometry(
+        maps, scales, "low", sampler="mxu", march_res=512, **kw))
+    gat = np.asarray(geometry.render_ocean_geometry(
+        maps, scales, "low", sampler="gather", **kw))
+    diff = np.abs(mxu - gat)
+    assert diff.mean() < 0.02
+    sky_m, sky_g = _sky_mask(mxu), _sky_mask(gat)
+    assert (sky_m != sky_g).mean() < 0.02

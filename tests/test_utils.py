@@ -289,3 +289,21 @@ def test_live_viewer_fly_camera_and_views():
     text = out.getvalue()
     assert "cam [" in text            # 3d status line shows the pose
     assert "\x1b[38;2;" in text       # rendered half-blocks
+
+
+def test_live_viewer_spray_composites_in_3d_view():
+    """ANSI 3D view advances and composites the spray system (the scene
+    renders spray always, main.tscn:133-140)."""
+    import io
+
+    from godotoceanwaves_tpu import Ocean
+    from godotoceanwaves_tpu.utils.live import LiveViewer
+
+    ocean = Ocean(map_size=32, updates_per_second=0)
+    script = iter(["", "", "q"])
+    viewer = LiveViewer(ocean, fps=30.0, cols=16, rows=6,
+                        input_fn=lambda: next(script, "q"),
+                        output=io.StringIO(), spray=True, spray_particles=64)
+    viewer.run(max_frames=4)
+    assert viewer._spray_state is not None
+    assert float(viewer._spray_clock) > 0.0
