@@ -157,7 +157,8 @@ def main() -> None:
         if attrs is not None:
             img = shading.splat_spray(img, attrs["position"], attrs["scale"],
                                       attrs["dissolve"], attrs["visible"],
-                                      foam_color=ocean.foam_color)
+                                      foam_color=ocean.foam_color,
+                                      custom_z=attrs["custom_z"])
         arr = (np.asarray(img) ** (1 / 2.2) * 255).astype(np.uint8)
         frames.append(arr)
         stats.record(time.perf_counter() - t0)

@@ -351,21 +351,28 @@ def splat_spray(
     fov_deg: float = 70.0,
     foam_color=DEFAULT_FOAM_COLOR,
     max_alpha: float = 0.666,
+    custom_z=None,             # (P,) dissolve offset (CUSTOM.z) — optional
 ) -> jax.Array:
-    """Composite spray particles as soft additive splats (sea_spray.gdshader).
+    """Composite spray particles as scale-aware soft billboards
+    (sea_spray.gdshader).
 
-    A cheap stand-in for the billboard+texture pass: alpha follows the
-    billboard shader's distance fade and dissolve envelope
-    (sea_spray.gdshader:30-33); brightness uses the foam-color boost (:27-28).
-    Projection matches `render_ocean`'s camera.
+    The billboard pass, array-side: view-aligned gaussian sprites whose
+    screen footprint follows the particle's world scale and distance
+    (billboarding preserves model scale, sea_spray.gdshader:20-21), alpha
+    following the shader's distance fade x dissolve envelope; when
+    `custom_z` is given, the scrolling-noise dissolve cut
+    (sea_spray.gdshader:30-33 via spray.billboard_alpha, with a
+    per-particle procedural noise phase) sculpts the puff edges.
+    Brightness uses the foam-color boost (:27-28). Projection matches the
+    renderers' camera; pose args may be traced.
     """
     h, w = img.shape[0], img.shape[1]
     cam = jnp.asarray(camera_pos, jnp.float32)
-    pitch = jnp.deg2rad(jnp.float32(pitch_deg))
-    tan_half = jnp.tan(jnp.deg2rad(jnp.float32(fov_deg)) / 2)
+    pitch = jnp.deg2rad(jnp.asarray(pitch_deg, jnp.float32))
+    tan_half = jnp.tan(jnp.deg2rad(jnp.asarray(fov_deg, jnp.float32)) / 2)
     v = positions - cam
     cp, sp = jnp.cos(pitch), jnp.sin(pitch)
-    yaw = jnp.deg2rad(jnp.float32(yaw_deg))
+    yaw = jnp.deg2rad(jnp.asarray(yaw_deg, jnp.float32))
     cy, sy = jnp.cos(yaw), jnp.sin(yaw)
     # camera basis (matches render_ocean / FlyCamera.basis): pitch about x,
     # then yaw about y — yaw=0 gives f = (0, sin p, cos p)
@@ -380,17 +387,36 @@ def splat_spray(
     aspect = h / w
     py = (0.5 - y / (z * tan_half * 2 * aspect)) * h
     dist = jnp.linalg.norm(v, axis=-1)
-    alpha = (max_alpha * (1.0 - jnp.exp(-dist * 0.04))
-             * jnp.clip(dissolve, 0.0, 1.0)
-             * jnp.clip(scales[:, 0], 0.0, 1.0))
+
+    fade = max_alpha * (1.0 - jnp.exp(-dist * 0.04))
+    if custom_z is None:
+        alpha = fade * jnp.clip(dissolve, 0.0, 1.0)
+    else:
+        # (fade + offset)/2 - noise, clamped — the dissolve cut; the
+        # scrolling noise texture becomes a per-particle phase scroll
+        noise = 0.45 * jnp.mod(custom_z * 7.31 + dissolve * 1.37, 1.0)
+        alpha = fade * jnp.maximum(
+            (jnp.clip(dissolve, 0.0, 1.0) + custom_z) * 0.5 - noise, 0.0)
+    alpha = alpha * jnp.clip(scales[:, 0], 0.0, 1.0)
     alpha = jnp.where(visible & in_front, alpha, 0.0)
 
-    ix = jnp.clip(px.astype(jnp.int32), 0, w - 1)
-    iy = jnp.clip(py.astype(jnp.int32), 0, h - 1)
+    # screen-space sprite radius from the world-scale billboard size
+    focal = (w * 0.5) / tan_half
+    world_r = 0.5 * jnp.mean(jnp.abs(scales), axis=-1)
+    sigma = jnp.clip(world_r * focal / jnp.maximum(z, 0.5), 0.6, 2.2)
+
+    fpx = jnp.floor(px)
+    fpy = jnp.floor(py)
+    frx = px - fpx            # subpixel center
+    fry = py - fpy
+    ix = jnp.clip(fpx.astype(jnp.int32), 0, w - 1)
+    iy = jnp.clip(fpy.astype(jnp.int32), 0, h - 1)
     overlay = jnp.zeros((h, w), jnp.float32)
-    for dy in (-1, 0, 1):
-        for dx in (-1, 0, 1):
-            wgt = 1.0 / (1.0 + abs(dx) + abs(dy))
+    inv2s2 = 1.0 / (2.0 * sigma * sigma)
+    for dy in (-2, -1, 0, 1, 2):
+        for dx in (-2, -1, 0, 1, 2):
+            d2 = (dx + 0.5 - frx) ** 2 + (dy + 0.5 - fry) ** 2
+            wgt = jnp.exp(-d2 * inv2s2)
             overlay = overlay.at[
                 jnp.clip(iy + dy, 0, h - 1), jnp.clip(ix + dx, 0, w - 1)
             ].add(alpha * wgt)

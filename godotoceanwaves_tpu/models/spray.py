@@ -174,6 +174,7 @@ def spray_step(params: SprayParams, state: SprayState, maps, map_scales,
         "position": position,
         "scale": scale,
         "dissolve": exp_impulse(t, 10.0),   # CUSTOM.a (gdshader:100)
+        "custom_z": custom_z,               # dissolve offset (CUSTOM.z)
         "visible": visible,
     }
 

@@ -250,7 +250,7 @@ class LiveViewer:
             img = shading_mod.splat_spray(
                 img, attrs["position"], attrs["scale"], attrs["dissolve"],
                 attrs["visible"], camera_pos=pos, pitch_deg=pitch,
-                yaw_deg=yaw, foam_color=fc)
+                yaw_deg=yaw, foam_color=fc, custom_z=attrs["custom_z"])
             return quantize(img)
 
         self._render3d_spray = jax.jit(render_spray)

@@ -309,7 +309,7 @@ class WebViewer:
             img = shading.splat_spray(
                 img, attrs["position"], attrs["scale"], attrs["dissolve"],
                 attrs["visible"], camera_pos=pos, pitch_deg=pitch,
-                yaw_deg=yaw, foam_color=fc)
+                yaw_deg=yaw, foam_color=fc, custom_z=attrs["custom_z"])
             return _quantize(img)
 
         self._render = jax.jit(_render)

@@ -212,3 +212,26 @@ def test_fly_camera_semantics():
     assert abs(cam.pitch) < np.pi / 2
     kw = cam.render_kwargs()
     assert set(kw) == {"camera_pos", "pitch_deg", "yaw_deg", "fov_deg"}
+
+
+def test_splat_spray_scale_aware_footprint_and_dissolve():
+    """Billboards preserve model scale (sea_spray.gdshader:20-21): a larger/
+    closer particle must cover more pixels; the custom_z dissolve cut
+    (:30-33) reduces coverage."""
+    import jax.numpy as jnp
+    img = jnp.zeros((48, 64, 3))
+    big = shading.splat_spray(
+        img, jnp.asarray([[0.0, 8.0, 12.0]]), jnp.full((1, 3), 3.0),
+        jnp.ones(1), jnp.asarray([True]), camera_pos=(0.0, 10.0, 0.0))
+    small = shading.splat_spray(
+        img, jnp.asarray([[0.0, 8.0, 12.0]]), jnp.full((1, 3), 0.9),
+        jnp.ones(1), jnp.asarray([True]), camera_pos=(0.0, 10.0, 0.0))
+    cov_big = float((big.sum(-1) > 0.6).sum())
+    cov_small = float((small.sum(-1) > 0.6).sum())
+    assert cov_big > cov_small > 0
+
+    cut = shading.splat_spray(
+        img, jnp.asarray([[0.0, 8.0, 12.0]]), jnp.full((1, 3), 3.0),
+        jnp.ones(1), jnp.asarray([True]), camera_pos=(0.0, 10.0, 0.0),
+        custom_z=jnp.asarray([0.0]))     # low offset -> strong cut
+    assert float(cut.sum()) < float(big.sum())
