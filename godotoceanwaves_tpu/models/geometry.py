@@ -68,7 +68,8 @@ def clipmap_axis_coords(quality: str = "high") -> np.ndarray:
 
 
 def displaced_grid(maps, map_scales: jax.Array, coords: jax.Array,
-                   center_xz: jax.Array, camera_pos: jax.Array) -> jax.Array:
+                   center_xz: jax.Array, camera_pos: jax.Array,
+                   sampler: str = "gather") -> jax.Array:
     """Vertex stage: displaced world positions of the clipmap grid.
 
     coords: (k,) graded axis; center_xz: (2,) mesh origin (snap_to_tile of
@@ -80,7 +81,7 @@ def displaced_grid(maps, map_scales: jax.Array, coords: jax.Array,
     world_xz = local + center_xz                        # (k, k, 2)
     disp = shading.cascade_displacement(
         maps.displacement, map_scales, world_xz,
-        camera_xz=camera_pos[jnp.array([0, 2])])
+        camera_xz=camera_pos[jnp.array([0, 2])], sampler=sampler)
     return jnp.stack([world_xz[..., 0] + disp[..., 0],
                       disp[..., 1],
                       world_xz[..., 1] + disp[..., 2]], axis=-1)
@@ -296,12 +297,13 @@ def render_ocean_geometry(
     light = jnp.asarray(light_dir, jnp.float32)
     light = light / jnp.linalg.norm(light)
 
-    grid = displaced_grid(maps, map_scales, coords, center_xz, cam)
     if sampler == "auto":
         # gathers are the TPU bottleneck (~12 ms per full-res bilinear,
         # docs/PERF.md); the hat-weight MXU sampler replaces them wholesale.
         # On CPU gathers are cheap and matmuls are not — keep gather there.
         sampler = "mxu" if jax.default_backend() == "tpu" else "gather"
+    grid = displaced_grid(maps, map_scales, coords, center_xz, cam,
+                          sampler=sampler)
     if accel == "uniform" and sampler == "mxu":
         ugrid = uniform_from_graded(grid, quality, uniform_res)
         _, _, origin, cell = _uniform_resample_tables(quality, uniform_res)
@@ -432,7 +434,8 @@ def render_ocean_geometry(
     uz = jnp.where(found, uz, p[..., 2])
     uv = jnp.stack([ux, uz], axis=-1)
 
-    grad = shading.cascade_gradient(maps.normal, map_scales, uv)
+    grad = shading.cascade_gradient(maps.normal, map_scales, uv,
+                                    sampler=sampler)
     dist = t_safe
     rgb = shading.shade(grad, p[..., 1], -d, light, dist, **shade_kwargs)
     rgb = jnp.where(hit[..., None], rgb, shading.sky_color(d, light))

@@ -50,6 +50,61 @@ def sample_bilinear(planes: jax.Array, uv: jax.Array) -> jax.Array:
     return top * (1 - fy) + bot * fy                  # (ch, ...)
 
 
+# --- gather-free MXU sampling -----------------------------------------------
+# TPU has no fast hardware gather (~12 ms per full-res bilinear at 640x360,
+# docs/PERF.md "geometry render"); interpolation re-expressed as sparse
+# weight rows contracted against the map planes rides the MXU instead.
+# Weights use the CIRCULAR texel distance, so GL repeat-wrap comes for free.
+
+def _wrap_weights(f: jax.Array, n: int, cubic: bool) -> jax.Array:
+    """(..., n) interpolation weights at absolute texel coordinate f (may
+    exceed [0, n)): 2-sparse linear hats, or 4-sparse cubic B-spline rows
+    (identical weights to `cubic_weights`, directly instead of via the
+    4-bilinear-tap decomposition)."""
+    fw = jnp.mod(f, n)
+    iota = jnp.arange(n, dtype=jnp.float32)
+    d = jnp.abs(fw[..., None] - iota)
+    d = jnp.minimum(d, n - d)
+    if not cubic:
+        w = jnp.maximum(0.0, 1.0 - d)
+    else:
+        d2 = d * d
+        d3 = d2 * d
+        near = (4.0 - 6.0 * d2 + 3.0 * d3) / 6.0          # d < 1
+        farr = jnp.maximum(2.0 - d, 0.0) ** 3 / 6.0       # 1 <= d < 2
+        w = jnp.where(d < 1.0, near, farr)
+    return w.astype(jnp.bfloat16)
+
+
+def _mxu_tap(planes: jax.Array, uv: jax.Array, cubic: bool) -> jax.Array:
+    """Separable weighted sample of (ch, N, N) planes at uv -> (ch, ...)."""
+    n = planes.shape[-1]
+    xy = uv * n - 0.5
+    wx = _wrap_weights(xy[..., 0], n, cubic)
+    wy = _wrap_weights(xy[..., 1], n, cubic)
+    rows = jnp.einsum("...g,cgk->...ck", wy, planes.astype(jnp.bfloat16),
+                      preferred_element_type=jnp.float32)
+    out = jnp.einsum("...ck,...k->...c", rows, wx.astype(jnp.float32))
+    return jnp.moveaxis(out, -1, 0)
+
+
+def sample_bilinear_mxu(planes: jax.Array, uv: jax.Array) -> jax.Array:
+    """MXU twin of `sample_bilinear` (bf16 weights/planes, fp32 accum)."""
+    return _mxu_tap(planes, uv, cubic=False)
+
+
+def sample_bicubic_mxu(planes: jax.Array, uv: jax.Array) -> jax.Array:
+    """MXU twin of `sample_bicubic`: the 4-sparse cubic rows contract in one
+    einsum pair instead of 4 bilinear gather taps."""
+    return _mxu_tap(planes, uv, cubic=True)
+
+
+def _samplers(sampler: str):
+    if sampler == "mxu":
+        return sample_bilinear_mxu, sample_bicubic_mxu
+    return sample_bilinear, sample_bicubic
+
+
 def cubic_weights(a: jax.Array) -> tuple[jax.Array, ...]:
     """Cubic B-spline filter weights (water.gdshader:42-52)."""
     a2 = a * a
@@ -92,17 +147,20 @@ def sample_bicubic(planes: jax.Array, uv: jax.Array) -> jax.Array:
 # --- vertex stage: cascade displacement sum (water.gdshader:27-39) ----------
 
 def cascade_displacement(displacement_maps: jax.Array, map_scales: jax.Array,
-                         xz: jax.Array, camera_xz=None) -> jax.Array:
+                         xz: jax.Array, camera_xz=None,
+                         sampler: str = "gather") -> jax.Array:
     """Summed world displacement at positions xz (..., 2) -> (..., 3).
 
     displacement_maps: (C, 3, N, N); map_scales: (C, 4) [1/Lx, 1/Ly, dscale, -].
     Distance falloff after 150 m (water.gdshader:30) if camera_xz given.
+    sampler="mxu" uses the gather-free weight-einsum taps (TPU hot path).
     """
+    bilinear, _ = _samplers(sampler)
     disp = jnp.zeros(xz.shape[:-1] + (3,), jnp.float32)
     for i in range(displacement_maps.shape[0]):
         s = map_scales[i]
         uv = xz * s[:2]
-        tap = sample_bilinear(displacement_maps[i].astype(jnp.float32), uv)
+        tap = bilinear(displacement_maps[i].astype(jnp.float32), uv)
         disp = disp + jnp.moveaxis(tap, 0, -1) * s[2]
     if camera_xz is not None:
         d = jnp.linalg.norm(xz - camera_xz, axis=-1, keepdims=True)
@@ -113,13 +171,14 @@ def cascade_displacement(displacement_maps: jax.Array, map_scales: jax.Array,
 # --- fragment stage: gradient/foam accumulation (water.gdshader:72-94) ------
 
 def cascade_gradient(normal_maps: jax.Array, map_scales: jax.Array,
-                     xz: jax.Array) -> jax.Array:
+                     xz: jax.Array, sampler: str = "gather") -> jax.Array:
     """Summed (dh/dx, dh/dz, foam) at xz -> (..., 3).
 
     Blends bicubic with bilinear by world pixels-per-meter (gdshader:76-82);
     channels sampled are .xyw = (grad_x, grad_y, foam), scaled by
-    (normal_scale, normal_scale, 1).
+    (normal_scale, normal_scale, 1). sampler="mxu" = weight-einsum taps.
     """
+    bilinear, bicubic = _samplers(sampler)
     n = normal_maps.shape[-1]
     grad = jnp.zeros(xz.shape[:-1] + (3,), jnp.float32)
     for i in range(normal_maps.shape[0]):
@@ -128,8 +187,8 @@ def cascade_gradient(normal_maps: jax.Array, map_scales: jax.Array,
         planes = normal_maps[i, jnp.array([0, 1, 3])].astype(jnp.float32)
         ppm = n * jnp.minimum(s[0], s[1])
         mix_t = jnp.minimum(1.0, ppm * 0.1)
-        tap = (sample_bicubic(planes, uv) * (1 - mix_t)
-               + sample_bilinear(planes, uv) * mix_t)
+        tap = (bicubic(planes, uv) * (1 - mix_t)
+               + bilinear(planes, uv) * mix_t)
         grad = grad + jnp.moveaxis(tap, 0, -1) * jnp.stack([s[3], s[3], jnp.float32(1.0)])
     return grad
 
@@ -226,6 +285,7 @@ def render_ocean(
     fov_deg: float = 70.0,
     light_dir=(0.3, 0.55, 0.9),
     environment: bool = False,
+    sampler: str = "gather",
     **shade_kwargs,
 ) -> jax.Array:
     """Offline perspective render of the water plane -> (H, W, 3) linear RGB.
@@ -262,8 +322,10 @@ def render_ocean(
     light = jnp.asarray(light_dir, jnp.float32)
     light = light / jnp.linalg.norm(light)
 
-    disp = cascade_displacement(maps.displacement, map_scales, xz, camera_xz=cam[jnp.array([0, 2])])
-    grad = cascade_gradient(maps.normal, map_scales, xz)
+    disp = cascade_displacement(maps.displacement, map_scales, xz,
+                                camera_xz=cam[jnp.array([0, 2])],
+                                sampler=sampler)
+    grad = cascade_gradient(maps.normal, map_scales, xz, sampler=sampler)
     dist = jnp.linalg.norm(p - cam, axis=-1)
     rgb = shade(grad, disp[..., 1], -d, light, dist, **shade_kwargs)
 

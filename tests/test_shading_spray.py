@@ -235,3 +235,36 @@ def test_splat_spray_scale_aware_footprint_and_dissolve():
         jnp.ones(1), jnp.asarray([True]), camera_pos=(0.0, 10.0, 0.0),
         custom_z=jnp.asarray([0.0]))     # low offset -> strong cut
     assert float(cut.sum()) < float(big.sum())
+
+
+def test_mxu_map_samplers_match_gather():
+    """sample_bilinear_mxu / sample_bicubic_mxu (weight-einsum taps, the TPU
+    render hot path) must match the gather taps to bf16 tolerance,
+    including repeat-wrap behavior."""
+    import jax.numpy as jnp
+    rs = np.random.RandomState(3)
+    planes = jnp.asarray(rs.randn(3, 32, 32).astype(np.float32))
+    uv = jnp.asarray(rs.uniform(-1.5, 2.5, size=(17, 9, 2)).astype(np.float32))
+    for gat, mxu in [(shading.sample_bilinear, shading.sample_bilinear_mxu),
+                     (shading.sample_bicubic, shading.sample_bicubic_mxu)]:
+        a = np.asarray(gat(planes, uv))
+        b = np.asarray(mxu(planes, uv))
+        scale = max(1e-9, float(np.abs(a).max()))
+        assert np.abs(a - b).max() / scale < 2e-2, (gat.__name__,)
+        assert np.sqrt(np.mean((a - b) ** 2)) / scale < 5e-3
+
+
+def test_cascade_functions_sampler_parity():
+    from godotoceanwaves_tpu import Ocean
+    import jax.numpy as jnp
+    o = Ocean(map_size=32, updates_per_second=0)
+    maps = o.update(0.1)
+    scales = o.params.map_scales()
+    xz = jnp.asarray(np.random.RandomState(0).uniform(-60, 60, (50, 2)),
+                     jnp.float32)
+    for fn, m in [(shading.cascade_displacement, maps.displacement),
+                  (shading.cascade_gradient, maps.normal)]:
+        a = np.asarray(fn(m, scales, xz))
+        b = np.asarray(fn(m, scales, xz, sampler="mxu"))
+        scale = max(1e-6, float(np.abs(a).max()))
+        assert np.abs(a - b).max() / scale < 2e-2
