@@ -364,6 +364,15 @@ class WebViewer:
     def _sim_loop(self) -> None:
         dt = 1.0 / self.fps
         maps = None
+        # The params snapshot is NOT rebuilt per frame: it reads ~30 tiny
+        # device scalars (50-200 ms each through the relay — measured to
+        # dominate the whole frame, docs/PERF.md "viewer loop") and only
+        # changes on /set edits, which refresh the cache themselves.
+        with self._ocean_lock:
+            snap0 = self._snapshot_ocean()
+        with self._frame_lock:
+            if self._state_cache is None:
+                self._state_cache = snap0
         while not self._stop.is_set():
             t0 = time.perf_counter()
             with self._ocean_lock:
@@ -371,7 +380,6 @@ class WebViewer:
                 scales = self.ocean.params.map_scales()
                 wc = np.asarray(self.ocean.water_color, np.float32)
                 fc = np.asarray(self.ocean.foam_color, np.float32)
-                snap = self._snapshot_ocean()
             if maps is None:           # scheduler skipped the very first tick
                 self._stop.wait(dt)
                 continue
@@ -389,15 +397,17 @@ class WebViewer:
                 self._png = png
                 self._mime = mime
                 self._frame_no += 1
-                self._state_cache = snap
             self._stop.wait(max(0.0, dt - took))
 
     # --- http --------------------------------------------------------------
     def _snapshot_ocean(self) -> dict:
-        """Ocean-derived part of /state; call with _ocean_lock held."""
-        p = self.ocean.params
+        """Ocean-derived part of /state; call with _ocean_lock held.
+        One batched device_get instead of ~30 scalar fetches (each a full
+        relay round trip on this backend)."""
+        import jax
+        p = jax.device_get(self.ocean.params)
         cascades = []
-        for i in range(p.num_cascades):
+        for i in range(self.ocean.params.num_cascades):
             row = {}
             for name in PARAM_RANGES:
                 v = np.asarray(getattr(p, name)[i])
