@@ -121,10 +121,17 @@ def main() -> None:
 
     spray_state = None
     spray_params = None
+    spray_step_jit = None
     if args.spray:
+        import functools
+
+        import jax as _jax
         spray_params = spray.SprayParams(num_particles=args.spray_particles,
                                          emitter_extent=60.0)
         spray_state = spray.spray_init(spray_params)
+        # one dispatch per frame instead of ~50 eager ones over the relay
+        spray_step_jit = _jax.jit(functools.partial(spray.spray_step,
+                                                    spray_params))
 
     frames = []
     scales = ocean.params.map_scales()
@@ -151,8 +158,8 @@ def main() -> None:
         maps = ocean.update(dt) or maps
         attrs = None
         if spray_state is not None:
-            spray_state, attrs = spray.spray_step(
-                spray_params, spray_state, maps, scales, now)
+            spray_state, attrs = spray_step_jit(
+                spray_state, maps, scales, np.float32(now))
         img = render(maps, scales, ocean.water_color, ocean.foam_color)
         if attrs is not None:
             img = shading.splat_spray(img, attrs["position"], attrs["scale"],

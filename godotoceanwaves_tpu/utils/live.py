@@ -137,6 +137,10 @@ class LiveViewer:
         self._input_fn = input_fn
         self._out = output if output is not None else sys.stdout
         self._maps = None
+        # host mirror of the edited params for the status line: reading a
+        # device scalar per frame costs a full relay round trip (~0.1 s,
+        # docs/PERF.md "viewer loop"); refreshed only on edits
+        self._param_cache: dict | None = None
 
     # --- input ---------------------------------------------------------
 
@@ -165,9 +169,10 @@ class LiveViewer:
         elif ch in "+-=_":
             name = self.param_names[self.param_idx]
             step = PARAM_STEPS[name] * (1 if ch in "+=" else -1)
-            cur = np.asarray(getattr(o.params, name))[self.cascade]
+            cur = self._params_host()[name][self.cascade]
             new = float(np.atleast_1d(cur)[0]) + step
             o.set_cascade(self.cascade, **{name: new})
+            self._param_cache = None
         elif ch == "r":
             i = RESOLUTIONS.index(o.config.map_size) \
                 if o.config.map_size in RESOLUTIONS else 0
@@ -192,6 +197,7 @@ class LiveViewer:
                 o.set_cascades(stacks)
                 self.cascade = min(self.cascade, want - 1)
                 self._maps = None
+                self._param_cache = None
         # --- fly camera (camera.gd:15-47) + view toggles ---
         elif ch in "wasdzx":
             move = {"w": (1, 0, 0), "s": (-1, 0, 0), "a": (0, -1, 0),
@@ -209,10 +215,18 @@ class LiveViewer:
 
     # --- frame loop ------------------------------------------------------
 
+    def _params_host(self) -> dict:
+        if self._param_cache is None:
+            import jax
+            p = jax.device_get(self.ocean.params)   # ONE batched fetch
+            self._param_cache = {name: np.asarray(getattr(p, name))
+                                 for name in self.param_names}
+        return self._param_cache
+
     def status_line(self) -> str:
         o = self.ocean
         name = self.param_names[self.param_idx]
-        val = np.asarray(getattr(o.params, name))[self.cascade]
+        val = self._params_host()[name][self.cascade]
         val = float(np.atleast_1d(val)[0])
         s = self.stats.summary()
         cam = self.camera.position
