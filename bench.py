@@ -43,7 +43,8 @@ from godotoceanwaves_tpu.models.cascade import CascadeParams, dual_wind_swell_ca
 from godotoceanwaves_tpu.models.ocean import multi_step, step
 
 TARGET_MS = 1.0
-K = 16         # frames per dispatch (multi-frame fused kernel)
+K = 48         # frames per dispatch (multi-frame fused kernel; round-3
+               # sweep: 8=0.91, 16=0.88, 32=0.87, 48=0.864, 64=flat)
 FRAMES = 960   # frames per timing block (amortizes the per-block round-trip)
 REPS = 10      # timing blocks (p50 reported as the value; p99 ~ max sample)
 
