@@ -67,6 +67,12 @@ def main() -> None:
                          "with silhouettes/parallax (water.gdshader:29-38)")
     ap.add_argument("--mesh-quality", choices=("low", "high"), default="high",
                     help="clipmap mesh grading (water.gd:43-46)")
+    ap.add_argument("--camera", type=str, default="0,12,0",
+                    help="camera position X,Y,Z (offline frames)")
+    ap.add_argument("--pitch", type=float, default=-12.0,
+                    help="camera pitch degrees (negative looks down)")
+    ap.add_argument("--yaw", type=float, default=0.0,
+                    help="camera yaw degrees")
     ap.add_argument("--ambience", type=str, default=None,
                     help="write the wind-mixed procedural ambience loop "
                          "(WAV) for the current cascade stack")
@@ -144,15 +150,20 @@ def main() -> None:
     # keeps the cheap y=0 raycast.
     import jax
     import jax.numpy as jnp
+    cam_kw = dict(
+        camera_pos=tuple(float(v) for v in args.camera.split(",")),
+        pitch_deg=args.pitch, yaw_deg=args.yaw)
     if args.flat:
         render = jax.jit(lambda m, s, wc, fc: shading.render_ocean(
             m, s, width=args.width, height=args.height,
-            environment=args.environment, water_color=wc, foam_color=fc))
+            environment=args.environment, water_color=wc, foam_color=fc,
+            **cam_kw))
     else:
         from godotoceanwaves_tpu.models import geometry
         render = jax.jit(lambda m, s, wc, fc: geometry.render_ocean_geometry(
             m, s, args.mesh_quality, width=args.width, height=args.height,
-            environment=args.environment, water_color=wc, foam_color=fc))
+            environment=args.environment, water_color=wc, foam_color=fc,
+            **cam_kw))
     for i in range(args.frames):
         t0 = time.perf_counter()
         maps = ocean.update(dt) or maps
@@ -165,7 +176,7 @@ def main() -> None:
             img = shading.splat_spray(img, attrs["position"], attrs["scale"],
                                       attrs["dissolve"], attrs["visible"],
                                       foam_color=ocean.foam_color,
-                                      custom_z=attrs["custom_z"])
+                                      custom_z=attrs["custom_z"], **cam_kw)
         arr = (np.asarray(img) ** (1 / 2.2) * 255).astype(np.uint8)
         frames.append(arr)
         stats.record(time.perf_counter() - t0)

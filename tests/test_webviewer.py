@@ -131,3 +131,32 @@ def test_webviewer_fly_camera_and_spray():
         assert json.loads(_get(port, "/state")[2])["mesh_quality"] == "high"
     finally:
         viewer.stop()
+
+
+def test_webviewer_frames_track_camera_motion():
+    """Flying the camera must change the served frame (the pose rides as
+    traced args into the jitted renderer, not baked constants)."""
+    ocean = Ocean(map_size=64, updates_per_second=0)
+    viewer = WebViewer(ocean, fps=30.0, width=64, height=36)
+    port = viewer.start(port=0)
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            if json.loads(_get(port, "/state")[2])["frame"] >= 2:
+                break
+            time.sleep(0.2)
+        frame_a = _get(port, "/frame.png")[2]
+        f0 = json.loads(_get(port, "/state")[2])["frame"]
+        # big look + move so the view genuinely changes
+        assert _post(port, {"name": "camera_look", "value": [400, -120]}) == 200
+        assert _post(port, {"name": "camera_move",
+                            "value": [1, 0, 1, 1, 1.0]}) == 200
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            if json.loads(_get(port, "/state")[2])["frame"] >= f0 + 2:
+                break
+            time.sleep(0.2)
+        frame_b = _get(port, "/frame.png")[2]
+        assert frame_a != frame_b
+    finally:
+        viewer.stop()
