@@ -25,8 +25,10 @@ the same ingredients:
 
 Quality presets mirror the reference's mesh_quality switch (water.gd:43-46):
 "low"/"high" clipmap gradings of the same 512 m footprint. TPU-wise the
-whole render is one jitted program: the march is a `lax.fori_loop` of
-vectorized gathers over the (H, W) pixel grid — no data-dependent shapes.
+whole render is one jitted program with no data-dependent shapes: batched
+bracket rounds (every candidate depth sampled in parallel, argmax picks the
+first crossing) over the gather-free hat-weight MXU sampler — both chosen
+against measured TPU pathologies (docs/PERF.md "Geometry render").
 """
 from __future__ import annotations
 
