@@ -81,9 +81,17 @@ def displaced_grid(maps, map_scales: jax.Array, coords: jax.Array,
     """
     local = jnp.stack(jnp.meshgrid(coords, coords, indexing="xy"), axis=-1)
     world_xz = local + center_xz                        # (k, k, 2)
-    disp = shading.cascade_displacement(
-        maps.displacement, map_scales, world_xz,
-        camera_xz=camera_pos[jnp.array([0, 2])], sampler=sampler)
+    if sampler == "mxu":
+        # the vertex grid is a tensor product, so sampling is separable:
+        # two small matmuls per cascade instead of dense per-vertex weight
+        # rows (21 -> ~2 ms at the render's working set, docs/PERF.md)
+        disp = shading.cascade_displacement_grid(
+            maps.displacement, map_scales, coords, center_xz,
+            camera_xz=camera_pos[jnp.array([0, 2])])
+    else:
+        disp = shading.cascade_displacement(
+            maps.displacement, map_scales, world_xz,
+            camera_xz=camera_pos[jnp.array([0, 2])], sampler=sampler)
     return jnp.stack([world_xz[..., 0] + disp[..., 0],
                       disp[..., 1],
                       world_xz[..., 1] + disp[..., 2]], axis=-1)
@@ -268,6 +276,7 @@ def render_ocean_geometry(
     uniform_res: int = 512,
     sampler: str = "auto",      # "auto" | "mxu" | "gather" (uniform accel)
     march_res: int = 256,       # mxu march-table resolution (2 m cells)
+    march_impl: str = "auto",   # "auto" | "pallas" (fused kernel) | "xla"
     **shade_kwargs,
 ) -> jax.Array:
     """Perspective render of the DISPLACED clipmap mesh -> (H, W, 3) RGB.
@@ -411,15 +420,33 @@ def render_ocean_geometry(
                 jnp.where(hit, t_first - seg, lo),
                 jnp.where(hit, t_first, hi))
 
-    found0 = below_at(t0) & marchable       # camera already under a crest
-    found, lo, hi = bracket(t0, t1, march_steps, marchable & ~found0)
-    lo = jnp.where(found0, t0, lo)
-    hi = jnp.where(found0, t0 + step, hi)
-    found = found | found0
-    # invariant: hi is below the surface for found pixels, so each round's
-    # last sub-sample re-hits and the bracket always tightens 8x
-    for _ in range(max(1, bisect_steps // 3)):
-        _, lo, hi = bracket(lo, hi, 8, found)
+    if march_impl == "auto":
+        # measured dead end (docs/PERF.md "Geometry render"): the fused
+        # Pallas march kernel (ops/pallas_march.py) LOSES to the staged XLA
+        # march (~18 ms vs ~7 ms at 640x360) — XLA's batched hat-weight
+        # einsums already run near the MXU roofline here. The kernel stays
+        # as the documented negative result; auto always picks xla.
+        march_impl = "xla"
+    if march_impl == "pallas":
+        assert accel == "uniform" and sampler == "mxu" and \
+            march_chop_iters == 0, \
+            "march_impl='pallas' requires the uniform/mxu/no-march-chop path"
+        from ..ops.pallas_march import march_heightfield
+        found, lo, hi = march_heightfield(
+            mheight, d, t0, t1, marchable, cam, center_xz,
+            origin=morigin, cell=mcell, march_steps=march_steps,
+            refine_rounds=max(1, bisect_steps // 3),
+            interpret=jax.default_backend() != "tpu")
+    else:
+        found0 = below_at(t0) & marchable   # camera already under a crest
+        found, lo, hi = bracket(t0, t1, march_steps, marchable & ~found0)
+        lo = jnp.where(found0, t0, lo)
+        hi = jnp.where(found0, t0 + step, hi)
+        found = found | found0
+        # invariant: hi is below the surface for found pixels, so each
+        # round's last sub-sample re-hits and the bracket always tightens 8x
+        for _ in range(max(1, bisect_steps // 3)):
+            _, lo, hi = bracket(lo, hi, 8, found)
     t_hit = 0.5 * (lo + hi)
 
     # flat far-field: rays that miss the mesh but still descend hit y=0

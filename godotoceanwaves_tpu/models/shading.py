@@ -12,6 +12,10 @@ UV = world xz (water.gdshader:28).
 """
 from __future__ import annotations
 
+import functools
+
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 
@@ -168,6 +172,47 @@ def cascade_displacement(displacement_maps: jax.Array, map_scales: jax.Array,
     return disp
 
 
+def cascade_displacement_grid(displacement_maps: jax.Array,
+                              map_scales: jax.Array, coords: jax.Array,
+                              center_xz: jax.Array, camera_xz=None
+                              ) -> jax.Array:
+    """`cascade_displacement` on the TENSOR-PRODUCT grid coords x coords.
+
+    The clipmap's vertices form a separable world grid (k, k), so bilinear
+    sampling factorizes: one (k, N) weight row-set per AXIS per cascade,
+    contracted as two small matmuls — ~N/k times cheaper than the dense
+    per-vertex weight tensor of the pointwise `_mxu_tap` (measured 21 ms ->
+    ~2 ms for the 640x360 render's vertex stage, docs/PERF.md). Exact same
+    hat-weight algebra, same bf16/fp32 precision as sampler="mxu".
+
+    Returns (k, k, 3) displacement indexed [z_row, x_col], matching
+    `cascade_displacement` on meshgrid(coords, coords, indexing="xy").
+    """
+    k = coords.shape[0]
+    n = displacement_maps.shape[-1]
+    disp = jnp.zeros((k, k, 3), jnp.float32)
+    wx_world = coords + center_xz[0]
+    wz_world = coords + center_xz[1]
+    for i in range(displacement_maps.shape[0]):
+        s = map_scales[i]
+        fx = wx_world * s[0] * n - 0.5
+        fz = wz_world * s[1] * n - 0.5
+        wx = _wrap_weights(fx, n, cubic=False)            # (k, N)
+        wz = _wrap_weights(fz, n, cubic=False)            # (k, N)
+        rows = jnp.einsum("zg,cgk->czk", wz,
+                          displacement_maps[i].astype(jnp.bfloat16),
+                          preferred_element_type=jnp.float32)
+        tap = jnp.einsum("czk,xk->czx", rows, wx.astype(jnp.float32),
+                         preferred_element_type=jnp.float32)
+        disp = disp + jnp.moveaxis(tap, 0, -1) * s[2]
+    if camera_xz is not None:
+        dx = wx_world - camera_xz[0]
+        dz = wz_world - camera_xz[1]
+        d = jnp.sqrt(dx[None, :, None] ** 2 + dz[:, None, None] ** 2)
+        disp = disp * jnp.minimum(jnp.exp(-(d - 150.0) * 0.007), 1.0)
+    return disp
+
+
 # --- fragment stage: gradient/foam accumulation (water.gdshader:72-94) ------
 
 def cascade_gradient(normal_maps: jax.Array, map_scales: jax.Array,
@@ -187,8 +232,21 @@ def cascade_gradient(normal_maps: jax.Array, map_scales: jax.Array,
         planes = normal_maps[i, jnp.array([0, 1, 3])].astype(jnp.float32)
         ppm = n * jnp.minimum(s[0], s[1])
         mix_t = jnp.minimum(1.0, ppm * 0.1)
-        tap = (bicubic(planes, uv) * (1 - mix_t)
-               + bilinear(planes, uv) * mix_t)
+        if sampler == "mxu":
+            # the blend factor is a per-cascade SCALAR; at production scales
+            # it saturates at exactly 1 (ppm*0.1 >= 1 for tile <= N/10 — true
+            # of every reference preset at N=1024), so the bicubic tap can be
+            # SKIPPED at runtime: each dense mxu tap is ~7 ms at 640x360
+            # (docs/PERF.md "Geometry render"), and lax.cond executes only
+            # the taken branch. Exact — not an approximation.
+            tap = jax.lax.cond(
+                mix_t >= 1.0,
+                lambda: bilinear(planes, uv),
+                lambda: (bicubic(planes, uv) * (1 - mix_t)
+                         + bilinear(planes, uv) * mix_t))
+        else:
+            tap = (bicubic(planes, uv) * (1 - mix_t)
+                   + bilinear(planes, uv) * mix_t)
         grad = grad + jnp.moveaxis(tap, 0, -1) * jnp.stack([s[3], s[3], jnp.float32(1.0)])
     return grad
 
@@ -401,6 +459,39 @@ def sky_color(d: jax.Array, light: jax.Array) -> jax.Array:
             + jnp.asarray([0.18, 0.14, 0.08]) * scatter)
 
 
+@functools.lru_cache(maxsize=2)
+def _puff_lobes(n_lobes: int = 6) -> np.ndarray:
+    """(L, 4) [off_x, off_y, sigma_frac, amplitude] lobe table for the
+    procedural spray sprite.
+
+    The reference's billboard samples an irregular puff albedo texture
+    (sea_spray.gdshader:27,31 x mat_spray.tres sea_spray.png). A texture
+    lookup per sprite pixel is a gather (the TPU pathology, docs/PERF.md);
+    instead the puff is a fixed MIXTURE OF ISOTROPIC GAUSSIAN LOBES — a core
+    plus an offset ring, some negative to chew the rim — which keeps every
+    lobe separable, so the whole composite stays one outer-product einsum
+    with L x the particle count. Deterministic (fixed seed), normalized to
+    unit peak on a dense probe grid.
+    """
+    rng = np.random.default_rng(7)
+    lobes = [(0.0, 0.0, 1.0, 1.0)]
+    for i in range(n_lobes - 1):
+        ang = 2 * np.pi * i / (n_lobes - 1) + rng.uniform(-0.4, 0.4)
+        r = rng.uniform(0.5, 0.85)
+        neg = i % 3 == 2
+        amp = -0.4 if neg else rng.uniform(0.35, 0.6)
+        sig = rng.uniform(0.4, 0.62)
+        lobes.append((r * np.cos(ang), r * np.sin(ang), sig, amp))
+    tab = np.asarray(lobes, np.float32)
+    # normalize: unit peak over a probe grid (so max_alpha keeps its meaning)
+    xs = np.linspace(-2.0, 2.0, 81)
+    gx, gy = np.meshgrid(xs, xs)
+    field = sum(a * np.exp(-((gx - ox) ** 2 + (gy - oy) ** 2) / (2 * s * s))
+                for ox, oy, s, a in tab)
+    tab[:, 3] /= max(float(field.max()), 1e-6)
+    return tab
+
+
 def splat_spray(
     img: jax.Array,            # (H, W, 3) linear RGB to composite onto
     positions: jax.Array,      # (P, 3) world positions (spray_step output)
@@ -414,6 +505,7 @@ def splat_spray(
     foam_color=DEFAULT_FOAM_COLOR,
     max_alpha: float = 0.666,
     custom_z=None,             # (P,) dissolve offset (CUSTOM.z) — optional
+    sprite: str = "puff",      # "puff" (textured look) | "gaussian" (1 lobe)
 ) -> jax.Array:
     """Composite spray particles as scale-aware soft billboards
     (sea_spray.gdshader).
@@ -467,18 +559,35 @@ def splat_spray(
     world_r = 0.5 * jnp.mean(jnp.abs(scales), axis=-1)
     sigma = jnp.clip(world_r * focal / jnp.maximum(z, 0.5), 0.6, 2.2)
 
-    # The gaussian sprite is SEPARABLE, so the whole composite is one
-    # outer-product contraction on the MXU: overlay = (wy*alpha)^T @ wx.
+    # Sprites are built from SEPARABLE gaussian lobes, so the whole
+    # composite is one outer-product contraction on the MXU:
+    # overlay = (wy*alpha)^T @ wx over (lobes x particles) pseudo-particles.
     # (A 5x5 scatter-add footprint measured ~2.4 s/frame at 32768 particles
     # — TPU scatters are as pathological as gathers, docs/PERF.md; this
     # einsum is ~5 ms and exact at any radius, no footprint clipping.)
-    inv2s2 = (1.0 / (2.0 * sigma * sigma))[:, None]
+    if sprite == "puff":
+        # the procedural sea_spray.png analog: fixed lobe mixture, rotated
+        # per particle slot (golden-angle hash) so puffs vary like the
+        # reference's texture does across billboards
+        tab = jnp.asarray(_puff_lobes())                   # (L, 4)
+        theta = jnp.arange(px.shape[0], dtype=jnp.float32) * 2.3999632
+        ct, st = jnp.cos(theta)[:, None], jnp.sin(theta)[:, None]
+        off = sigma[:, None] * 1.3                          # lobe ring radius
+        cx = px[:, None] + off * (ct * tab[:, 0] - st * tab[:, 1])
+        cy_ = py[:, None] + off * (st * tab[:, 0] + ct * tab[:, 1])
+        sig = sigma[:, None] * tab[:, 2]
+        amp = alpha[:, None] * tab[:, 3]
+        px_, py_ = cx.reshape(-1), cy_.reshape(-1)
+        sigma_, amp_ = sig.reshape(-1), amp.reshape(-1)
+    else:
+        px_, py_, sigma_, amp_ = px, py, sigma, alpha
+    inv2s2 = (1.0 / (2.0 * sigma_ * sigma_))[:, None]
     rows = jnp.arange(h, dtype=jnp.float32) + 0.5
     cols = jnp.arange(w, dtype=jnp.float32) + 0.5
-    wy = jnp.exp(-jnp.square(rows[None, :] - py[:, None]) * inv2s2)
-    wx = jnp.exp(-jnp.square(cols[None, :] - px[:, None]) * inv2s2)
+    wy = jnp.exp(-jnp.square(rows[None, :] - py_[:, None]) * inv2s2)
+    wx = jnp.exp(-jnp.square(cols[None, :] - px_[:, None]) * inv2s2)
     overlay = jnp.einsum("ph,pw->hw",
-                         (wy * alpha[:, None]).astype(jnp.bfloat16),
+                         (wy * amp_[:, None]).astype(jnp.bfloat16),
                          wx.astype(jnp.bfloat16),
                          preferred_element_type=jnp.float32)
     overlay = jnp.clip(overlay, 0.0, 1.0)[..., None]

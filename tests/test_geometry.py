@@ -167,3 +167,38 @@ def test_mxu_sampler_matches_gather(ocean_maps):
     assert diff.mean() < 0.02
     sky_m, sky_g = _sky_mask(mxu), _sky_mask(gat)
     assert (sky_m != sky_g).mean() < 0.02
+
+
+def test_pallas_march_matches_xla_bracket(ocean_maps):
+    """The fused march kernel (ops/pallas_march.py, interpret mode here)
+    implements the staged path's bracket algebra exactly: same first-crossing
+    choice, same 8-way refinements — images must agree to kernel-rounding."""
+    maps, scales = ocean_maps
+    kw = dict(width=W, height=H, light_dir=LIGHT, march_steps=24,
+              bisect_steps=6, sampler="mxu", **CAM)
+    pal = np.asarray(geometry.render_ocean_geometry(
+        maps, scales, "low", march_impl="pallas", **kw))
+    xla = np.asarray(geometry.render_ocean_geometry(
+        maps, scales, "low", march_impl="xla", **kw))
+    diff = np.abs(pal - xla)
+    assert diff.mean() < 5e-3
+    sky_p, sky_x = _sky_mask(pal), _sky_mask(xla)
+    assert (sky_p != sky_x).mean() < 0.01
+
+
+def test_separable_grid_displacement_matches_pointwise(ocean_maps):
+    """cascade_displacement_grid (two-matmul separable tensor-grid sampler)
+    must equal cascade_displacement evaluated pointwise on the same grid —
+    identical hat-weight algebra, just factorized."""
+    maps, scales = ocean_maps
+    coords = jnp.asarray(geometry.clipmap_axis_coords("low"))
+    center = jnp.asarray([3.0, -11.0])
+    cam_xz = jnp.asarray([1.0, 2.0])
+    sep = shading.cascade_displacement_grid(
+        maps.displacement, scales, coords, center, camera_xz=cam_xz)
+    local = jnp.stack(jnp.meshgrid(coords, coords, indexing="xy"), axis=-1)
+    ref = shading.cascade_displacement(
+        maps.displacement, scales, local + center, camera_xz=cam_xz,
+        sampler="mxu")
+    np.testing.assert_allclose(np.asarray(sep), np.asarray(ref),
+                               atol=2e-3, rtol=0)

@@ -268,3 +268,22 @@ def test_cascade_functions_sampler_parity():
         b = np.asarray(fn(m, scales, xz, sampler="mxu"))
         scale = max(1e-6, float(np.abs(a).max()))
         assert np.abs(a - b).max() / scale < 2e-2
+
+
+def test_cascade_gradient_bilinear_fast_path_is_exact():
+    """When the filter blend saturates (min(1, ppm*0.1) == 1 — every
+    production preset at N=1024), the mxu path's lax.cond skips the bicubic
+    tap entirely; the result must still equal the reference blend, which
+    degenerates to pure bilinear there (water.gdshader:76-82)."""
+    import jax.numpy as jnp
+    rs = np.random.RandomState(5)
+    n = 64
+    maps = jnp.asarray(rs.randn(2, 4, n, n).astype(np.float32))
+    # tile lengths <= n/10 => ppm*0.1 >= 1 for both cascades
+    scales = jnp.asarray([[1 / 5.0, 1 / 5.0, 1.0, 0.8],
+                          [1 / 6.0, 1 / 6.0, 1.0, 0.5]], jnp.float32)
+    xz = jnp.asarray(rs.uniform(-20, 20, (31, 2)).astype(np.float32))
+    a = np.asarray(shading.cascade_gradient(maps, scales, xz))
+    b = np.asarray(shading.cascade_gradient(maps, scales, xz, sampler="mxu"))
+    scale = max(1e-6, float(np.abs(a).max()))
+    assert np.abs(a - b).max() / scale < 2e-2
