@@ -30,7 +30,6 @@ from godotoceanwaves_tpu.utils.cache import enable_persistent_cache
 enable_persistent_cache()
 
 from godotoceanwaves_tpu import Ocean
-from godotoceanwaves_tpu.models import shading, spray
 from godotoceanwaves_tpu.utils.observability import FrameStats, panel
 
 
@@ -125,62 +124,34 @@ def main() -> None:
     for _ in range(args.warmup):
         maps = ocean.update(dt) or maps
 
-    spray_state = None
-    spray_params = None
-    spray_step_jit = None
-    if args.spray:
-        import functools
-
-        import jax as _jax
-        spray_params = spray.SprayParams(num_particles=args.spray_particles,
-                                         emitter_extent=60.0)
-        spray_state = spray.spray_init(spray_params)
-        # one dispatch per frame instead of ~50 eager ones over the relay
-        spray_step_jit = _jax.jit(functools.partial(spray.spray_step,
-                                                    spray_params))
+    # shared jitted render/spray plumbing (models/viewport): one device
+    # dispatch per frame — eager chains are seconds-per-frame through the
+    # tunnel relay — with spray composited INSIDE the render jit and the
+    # uint8 quantize on device. The session's global colors (water.gd:14-18)
+    # and the camera pose ride as traced args. Default path renders the
+    # vertex-displaced clipmap mesh (models/geometry.py) — silhouettes and
+    # parallax, the reference's defining visual; --flat keeps the y=0
+    # raycast.
+    from godotoceanwaves_tpu.models.viewport import SceneRenderer, SpraySession
+    viewport = SceneRenderer(args.width, args.height, flat=args.flat,
+                             mesh_quality=args.mesh_quality,
+                             environment=args.environment)
+    spray_session = SpraySession(num_particles=args.spray_particles) \
+        if args.spray else None
 
     frames = []
     scales = ocean.params.map_scales()
-    now = 0.0
-    # jitted render: one dispatch/frame instead of ~100 eager ones (the
-    # tunnel relay makes eager chains seconds-per-frame); the session's
-    # global colors (water.gd:14-18) ride as traced args. Default path
-    # renders the vertex-displaced clipmap mesh (models/geometry.py) —
-    # silhouettes and parallax, the reference's defining visual; --flat
-    # keeps the cheap y=0 raycast.
-    import jax
-    import jax.numpy as jnp
-    cam_kw = dict(
-        camera_pos=tuple(float(v) for v in args.camera.split(",")),
-        pitch_deg=args.pitch, yaw_deg=args.yaw)
-    if args.flat:
-        render = jax.jit(lambda m, s, wc, fc: shading.render_ocean(
-            m, s, width=args.width, height=args.height,
-            environment=args.environment, water_color=wc, foam_color=fc,
-            **cam_kw))
-    else:
-        from godotoceanwaves_tpu.models import geometry
-        render = jax.jit(lambda m, s, wc, fc: geometry.render_ocean_geometry(
-            m, s, args.mesh_quality, width=args.width, height=args.height,
-            environment=args.environment, water_color=wc, foam_color=fc,
-            **cam_kw))
+    cam_pos = tuple(float(v) for v in args.camera.split(","))
     for i in range(args.frames):
         t0 = time.perf_counter()
         maps = ocean.update(dt) or maps
-        attrs = None
-        if spray_state is not None:
-            spray_state, attrs = spray_step_jit(
-                spray_state, maps, scales, np.float32(now))
-        img = render(maps, scales, ocean.water_color, ocean.foam_color)
-        if attrs is not None:
-            img = shading.splat_spray(img, attrs["position"], attrs["scale"],
-                                      attrs["dissolve"], attrs["visible"],
-                                      foam_color=ocean.foam_color,
-                                      custom_z=attrs["custom_z"], **cam_kw)
-        arr = (np.asarray(img) ** (1 / 2.2) * 255).astype(np.uint8)
-        frames.append(arr)
+        attrs = (spray_session.advance(maps, scales, dt)
+                 if spray_session is not None else None)
+        img = viewport.render(maps, scales, ocean.water_color,
+                              ocean.foam_color, cam_pos, args.pitch,
+                              args.yaw, spray_attrs=attrs)
+        frames.append(np.asarray(img))
         stats.record(time.perf_counter() - t0)
-        now += dt
 
     if args.out:
         outdir = pathlib.Path(args.out)

@@ -3,8 +3,9 @@ displaced-geometry rendering."""
 from .camera import FlyCamera
 from .cascade import (CascadeParams, SimConfig, default_cascades,
                       dual_wind_swell_cascades, stack_cascades)
-from .geometry import (CLIPMAP_PRESETS, clipmap_axis_coords,
-                       render_ocean_geometry)
+from .geometry import (CLIPMAP_PRESETS, clipmap_axis_coords, displaced_grid,
+                       render_ocean_geometry, surface_height)
+from .viewport import SceneRenderer, SpraySession
 from .ocean import (
     Ocean,
     OceanMaps,

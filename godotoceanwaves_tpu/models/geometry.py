@@ -122,7 +122,13 @@ def _grid_sample(grid: jax.Array, coords: jax.Array, center_xz: jax.Array,
 
 def surface_height(grid: jax.Array, coords: jax.Array, center_xz: jax.Array,
                    x: jax.Array, z: jax.Array, chop_iters: int = 1):
-    """Displaced-surface height under world (x, z), honoring horizontal chop.
+    """Public surface probe: displaced-surface height under world (x, z).
+
+    The buoyancy/gameplay query the rendered surface implies — build the
+    displaced mesh once per frame (`displaced_grid`) and probe it at any
+    world points (floats, ships, spray spawns). The renderer inlines the
+    same inversion against its accel grids; this is the exact graded-mesh
+    form.
 
     The displaced mesh is a heightfield over its PARAMETER (pre-displacement
     xz) domain; horizontal displacement shifts where each column lands.
@@ -209,12 +215,6 @@ def _mxu_sample(table: jax.Array, origin, cell, center_xz: jax.Array,
     rows = jnp.einsum("...g,gkc->...kc", wz, tb,
                       preferred_element_type=jnp.float32)
     return jnp.einsum("...kc,...k->...c", rows, wx.astype(jnp.float32))
-
-
-def _downsample_axis_tables(quality: str, res: int):
-    """Static resample tables at a secondary resolution (the mxu march
-    table can be coarser than the shading-fidelity uniform grid)."""
-    return _uniform_resample_tables(quality, res)
 
 
 def _uniform_sample(ugrid: jax.Array, origin, cell, center_xz: jax.Array,
@@ -318,8 +318,9 @@ def render_ocean_geometry(
     if accel == "uniform" and sampler == "mxu":
         ugrid = uniform_from_graded(grid, quality, uniform_res)
         _, _, origin, cell = _uniform_resample_tables(quality, uniform_res)
+        # the march table can be coarser than the shading-fidelity grid
         mheight = uniform_from_graded(grid, quality, march_res)[..., 1]
-        _, _, morigin, mcell = _downsample_axis_tables(quality, march_res)
+        _, _, morigin, mcell = _uniform_resample_tables(quality, march_res)
 
         def sample(qx, qz):
             return _mxu_sample(ugrid, origin, cell, center_xz, qx, qz)
@@ -365,26 +366,30 @@ def render_ocean_geometry(
     dy = d[..., 1]
     eps = 1e-6
     safe_dy = jnp.where(jnp.abs(dy) < eps, jnp.where(dy < 0, -eps, eps), dy)
-    # march window: enter at the crest ceiling (if above it), leave at the
-    # trough floor or the mesh's horizontal bounding box
+    # march window: enter at the crest ceiling (if above it) AND the mesh's
+    # horizontal bounding box (a camera outside the footprint must not
+    # sample before the box — edge-clamped samples would report the edge
+    # column's wave height and fake a crossing in the gap); leave at the
+    # trough floor or the box exit
     t_enter = jnp.where(cam[1] > y_max, (y_max - cam[1]) / safe_dy, 0.0)
     t_enter = jnp.where((cam[1] > y_max) & (dy >= 0), jnp.inf, jnp.maximum(t_enter, 0.0))
     t_floor = jnp.where(dy < 0, (y_min - cam[1]) / safe_dy, jnp.inf)
     lo_x, hi_x = coords[0] + center_xz[0], coords[-1] + center_xz[0]
     lo_z, hi_z = coords[0] + center_xz[1], coords[-1] + center_xz[1]
-    def exit_t(o, dd, lo, hi):
+    def slab_t(o, dd, lo, hi):
         sd = jnp.where(jnp.abs(dd) < eps, eps, dd)
         t1 = (lo - o) / sd
         t2 = (hi - o) / sd
-        return jnp.maximum(t1, t2)
-    t_box = jnp.minimum(exit_t(cam[0], d[..., 0], lo_x, hi_x),
-                        exit_t(cam[2], d[..., 2], lo_z, hi_z))
+        return jnp.minimum(t1, t2), jnp.maximum(t1, t2)
+    enter_x, exit_x = slab_t(cam[0], d[..., 0], lo_x, hi_x)
+    enter_z, exit_z = slab_t(cam[2], d[..., 2], lo_z, hi_z)
+    t_enter = jnp.maximum(t_enter, jnp.maximum(enter_x, enter_z))
+    t_box = jnp.minimum(exit_x, exit_z)
     t_end = jnp.minimum(jnp.minimum(t_floor, t_box), far)
     marchable = t_enter < t_end
 
     t0 = jnp.where(marchable, t_enter, 0.0)
     t1 = jnp.where(marchable, t_end, 1.0)
-    step = (t1 - t0) / march_steps
 
     def below_at(t):
         p = cam + t[..., None] * d
@@ -440,8 +445,13 @@ def render_ocean_geometry(
     else:
         found0 = below_at(t0) & marchable   # camera already under a crest
         found, lo, hi = bracket(t0, t1, march_steps, marchable & ~found0)
+        # found0 pixels hit AT the window start: a degenerate (t0, t0)
+        # bracket is a fixed point of the refinement below (seg = 0, every
+        # sub-sample re-tests t0), so the hit stays pinned at t0 instead of
+        # collapsing through a half-open bracket whose upper end was never
+        # verified to be below the surface
         lo = jnp.where(found0, t0, lo)
-        hi = jnp.where(found0, t0 + step, hi)
+        hi = jnp.where(found0, t0, hi)
         found = found | found0
         # invariant: hi is below the surface for found pixels, so each
         # round's last sub-sample re-hits and the bracket always tightens 8x

@@ -1,0 +1,125 @@
+"""Shared jitted scene renderer + persistent spray session.
+
+Every render surface — ``demo.py``'s offline frame loop, the ANSI live
+viewer (`utils/live.py`) and the browser viewer (`utils/webviewer.py`) —
+needs the same two jitted closures (scene render, scene + spray composite,
+both quantizing to gamma-encoded uint8 in-jit so one device dispatch yields
+the finished frame bytes) and the same lazily-created persistent spray
+state (the reference scene always renders its 32768-particle spray,
+main.tscn:133-140). This module is the single owner of that plumbing so
+the three surfaces cannot drift apart.
+
+On this backend every synchronized device interaction costs ~0.05-0.2 s
+through the relay (docs/PERF.md "viewer loop"), so the composite MUST be
+one dispatch: spray attrs feed the same jit as the scene, and the uint8
+quantize rides inside it (a fp32 frame fetch is also 4x the bytes).
+"""
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from . import geometry, shading, spray
+
+
+class SceneRenderer:
+    """Jitted render closures for one viewport configuration.
+
+    ``flat=False`` renders the vertex-displaced clipmap mesh
+    (`geometry.render_ocean_geometry` — silhouettes/parallax, the
+    reference's defining visual); ``flat=True`` keeps the cheap y=0
+    raycast (`shading.render_ocean`). Camera pose and the session's
+    global colors (water.gd:14-18) ride as traced args — flying and
+    recoloring never retrace.
+    """
+
+    def __init__(self, width: int, height: int, *, flat: bool = False,
+                 mesh_quality: str = "high", environment: bool = True,
+                 march_steps: int = 40, bisect_steps: int = 8):
+        self.width = width
+        self.height = height
+        self.flat = flat
+        self.mesh_quality = mesh_quality
+        self.environment = environment
+
+        def scene(maps, scales, wc, fc, pos, pitch, yaw):
+            if flat:
+                return shading.render_ocean(
+                    maps, scales, width=width, height=height,
+                    camera_pos=pos, pitch_deg=pitch, yaw_deg=yaw,
+                    environment=environment, water_color=wc, foam_color=fc)
+            return geometry.render_ocean_geometry(
+                maps, scales, mesh_quality, width=width, height=height,
+                camera_pos=pos, pitch_deg=pitch, yaw_deg=yaw,
+                environment=environment, march_steps=march_steps,
+                bisect_steps=bisect_steps, water_color=wc, foam_color=fc)
+
+        def quantize(img):
+            return (jnp.clip(img, 0.0, 1.0) ** (1 / 2.2) * 255
+                    ).astype(jnp.uint8)
+
+        def render(maps, scales, wc, fc, pos, pitch, yaw):
+            return quantize(scene(maps, scales, wc, fc, pos, pitch, yaw))
+
+        def render_spray(maps, scales, wc, fc, pos, pitch, yaw, attrs):
+            img = scene(maps, scales, wc, fc, pos, pitch, yaw)
+            img = shading.splat_spray(
+                img, attrs["position"], attrs["scale"], attrs["dissolve"],
+                attrs["visible"], camera_pos=pos, pitch_deg=pitch,
+                yaw_deg=yaw, foam_color=fc, custom_z=attrs["custom_z"])
+            return quantize(img)
+
+        self._render = jax.jit(render)
+        self._render_spray = jax.jit(render_spray)
+
+    def render(self, maps, scales, water_color, foam_color, pos, pitch, yaw,
+               spray_attrs=None) -> jax.Array:
+        """One jitted dispatch -> (H, W, 3) uint8 frame (gamma-encoded)."""
+        wc = jnp.asarray(water_color, jnp.float32)
+        fc = jnp.asarray(foam_color, jnp.float32)
+        pos = jnp.asarray(pos, jnp.float32)
+        pitch = jnp.float32(pitch)
+        yaw = jnp.float32(yaw)
+        if spray_attrs is None:
+            return self._render(maps, scales, wc, fc, pos, pitch, yaw)
+        return self._render_spray(maps, scales, wc, fc, pos, pitch, yaw,
+                                  spray_attrs)
+
+
+class SpraySession:
+    """Persistent spray particle state + jitted step, shared across
+    renderer rebuilds (a mesh-quality or resolution change must not reset
+    the particles' respawn cycles)."""
+
+    def __init__(self, num_particles: int = 32768,
+                 emitter_extent: float = 60.0):
+        self._num_particles = num_particles
+        self._emitter_extent = emitter_extent
+        self._params = None
+        self._state = None
+        self._step = None
+        self.clock = 0.0
+
+    @property
+    def started(self) -> bool:
+        """True once the particle state exists (first advance() ran)."""
+        return self._state is not None
+
+    def advance(self, maps, scales, dt: float):
+        """Step the particle state machine by dt -> billboard attrs dict
+        (one jitted dispatch; feed to SceneRenderer.render(spray_attrs=…))."""
+        if self._state is None:
+            self._params = spray.SprayParams(
+                num_particles=self._num_particles,
+                emitter_extent=self._emitter_extent)
+            self._state = spray.spray_init(self._params)
+            self._step = jax.jit(functools.partial(spray.spray_step,
+                                                   self._params))
+        self.clock += dt
+        self._state, attrs = self._step(self._state, maps, scales,
+                                        np.float32(self.clock))
+        return attrs

@@ -128,12 +128,10 @@ class LiveViewer:
         self.camera = FlyCamera(
             position=np.array([0.0, 10.0, -30.0]), pitch=-0.25)
         self._render3d = None                 # built lazily per mesh quality
-        self._render3d_spray = None
         # spray in the 3D view (the scene renders it always, main.tscn:133-140)
         self.spray = spray
-        self._spray_particles = spray_particles
-        self._spray_state = None
-        self._spray_clock = 0.0
+        from ..models.viewport import SpraySession
+        self._spray = SpraySession(num_particles=spray_particles)
         self._input_fn = input_fn
         self._out = output if output is not None else sys.stdout
         self._maps = None
@@ -238,57 +236,15 @@ class LiveViewer:
                 f"{s.get('fps', 0.0):.1f} fps / {s.get('ms_p50', 0.0):.1f} ms")
 
     def _build_render3d(self):
-        import jax
-        import jax.numpy as jnp
-
-        from ..models import geometry
-        quality = self.mesh_quality
-        w, h = self.cols, self.rows * 2      # half-blocks: 2 pixels per line
-
-        def scene(maps, scales, wc, fc, pos, pitch, yaw):
-            return geometry.render_ocean_geometry(
-                maps, scales, quality, width=w, height=h, camera_pos=pos,
-                pitch_deg=pitch, yaw_deg=yaw, environment=True,
-                march_steps=28, bisect_steps=6,
-                water_color=wc, foam_color=fc)
-
-        def quantize(img):
-            return (jnp.clip(img, 0.0, 1.0) ** (1 / 2.2) * 255).astype(jnp.uint8)
-
-        def render(maps, scales, wc, fc, pos, pitch, yaw):
-            return quantize(scene(maps, scales, wc, fc, pos, pitch, yaw))
-
-        def render_spray(maps, scales, wc, fc, pos, pitch, yaw, attrs):
-            img = scene(maps, scales, wc, fc, pos, pitch, yaw)
-            from ..models import shading as shading_mod
-            img = shading_mod.splat_spray(
-                img, attrs["position"], attrs["scale"], attrs["dissolve"],
-                attrs["visible"], camera_pos=pos, pitch_deg=pitch,
-                yaw_deg=yaw, foam_color=fc, custom_z=attrs["custom_z"])
-            return quantize(img)
-
-        self._render3d_spray = jax.jit(render_spray)
-        return jax.jit(render)
-
-    def _advance_spray(self, maps, scales):
-        import functools
-
-        import jax
-
-        from ..models import spray as spray_mod
-        if self._spray_state is None:
-            self._spray_params = spray_mod.SprayParams(
-                num_particles=self._spray_particles, emitter_extent=60.0)
-            self._spray_state = spray_mod.spray_init(self._spray_params)
-            self._spray_step = jax.jit(functools.partial(
-                spray_mod.spray_step, self._spray_params))
-        self._spray_clock += self.dt
-        self._spray_state, attrs = self._spray_step(
-            self._spray_state, maps, scales, np.float32(self._spray_clock))
-        return attrs
+        """models/viewport.SceneRenderer (shared with the web viewer and
+        demo.py); half-blocks give 2 pixels per terminal line."""
+        from ..models.viewport import SceneRenderer
+        return SceneRenderer(self.cols, self.rows * 2,
+                             mesh_quality=self.mesh_quality,
+                             environment=True,
+                             march_steps=28, bisect_steps=6)
 
     def frame(self) -> str:
-        import jax.numpy as jnp
         t0 = time.perf_counter()
         maps = self.ocean.update(self.dt)
         if maps is not None:
@@ -300,17 +256,13 @@ class LiveViewer:
             if self._render3d is None:
                 self._render3d = self._build_render3d()
             cam = self.camera
-            args = (self._maps, scales,
-                    jnp.asarray(self.ocean.water_color),
-                    jnp.asarray(self.ocean.foam_color),
-                    jnp.asarray(cam.position, jnp.float32),
-                    jnp.float32(np.rad2deg(cam.pitch)),
-                    jnp.float32(np.rad2deg(cam.yaw)))
-            if self.spray:
-                attrs = self._advance_spray(self._maps, scales)
-                img = self._render3d_spray(*args, attrs)
-            else:
-                img = self._render3d(*args)
+            attrs = (self._spray.advance(self._maps, scales, self.dt)
+                     if self.spray else None)
+            img = self._render3d.render(
+                self._maps, scales, self.ocean.water_color,
+                self.ocean.foam_color, cam.position,
+                np.rad2deg(cam.pitch), np.rad2deg(cam.yaw),
+                spray_attrs=attrs)
             body = ansi_rgb(np.asarray(img))
         else:
             height, foam = _sample_field_jit(

@@ -248,11 +248,11 @@ class WebViewer:
         self.camera = FlyCamera()
         self.mesh_quality = mesh_quality
         # spray system (C13, main.tscn:133-140): persistent state advanced
-        # in the sim thread, composited before encode
+        # in the sim thread, composited before encode; the session survives
+        # renderer rebuilds (mesh-quality changes keep the respawn cycles)
         self.spray_enabled = spray
-        self._spray_particles = spray_particles
-        self._spray_state = None
-        self._spray_clock = 0.0
+        from ..models.viewport import SpraySession
+        self._spray = SpraySession(num_particles=spray_particles)
         # Three locks so the panel stays responsive while device work runs:
         # _ocean_lock serializes Ocean access (sim step vs /set edits);
         # _cam_lock guards the host-side camera/toggles (instant edits that
@@ -271,49 +271,19 @@ class WebViewer:
         self._build_renderers()
 
     def _build_renderers(self) -> None:
-        """Jitted render paths: one device dispatch per frame. Camera pose,
-        colors, and spray attributes are traced args — editing/flying
+        """Jitted render paths (models/viewport.SceneRenderer — shared with
+        the ANSI viewer and demo.py): one device dispatch per frame. Camera
+        pose, colors, and spray attributes are traced args — editing/flying
         never retraces. gamma + uint8 quantization happen ON DEVICE (the
         relay link is ~5 MB/s; uint8 is 12x smaller than fp32)."""
-        import jax
-        import jax.numpy as jnp
+        from ..models.viewport import SceneRenderer
 
-        from ..models import geometry
-
-        quality = self.mesh_quality
-
-        def _scene(maps, scales, wc, fc, pos, pitch, yaw):
-            if self.flat:
-                return shading.render_ocean(
-                    maps, scales, width=self.width, height=self.height,
-                    camera_pos=pos, pitch_deg=pitch, yaw_deg=yaw,
-                    environment=self.environment,
-                    water_color=wc, foam_color=fc)
-            return geometry.render_ocean_geometry(
-                maps, scales, quality, width=self.width, height=self.height,
-                camera_pos=pos, pitch_deg=pitch, yaw_deg=yaw,
-                environment=self.environment,
-                # interactive tuning: 24+2x8 samples, ~112 ms/frame on the
-                # v5e at 640x360 with the MXU sampler (docs/PERF.md)
-                march_steps=24, bisect_steps=6,
-                water_color=wc, foam_color=fc)
-
-        def _quantize(img):
-            return (jnp.clip(img, 0.0, 1.0) ** (1 / 2.2) * 255).astype(jnp.uint8)
-
-        def _render(maps, scales, wc, fc, pos, pitch, yaw):
-            return _quantize(_scene(maps, scales, wc, fc, pos, pitch, yaw))
-
-        def _render_spray(maps, scales, wc, fc, pos, pitch, yaw, attrs):
-            img = _scene(maps, scales, wc, fc, pos, pitch, yaw)
-            img = shading.splat_spray(
-                img, attrs["position"], attrs["scale"], attrs["dissolve"],
-                attrs["visible"], camera_pos=pos, pitch_deg=pitch,
-                yaw_deg=yaw, foam_color=fc, custom_z=attrs["custom_z"])
-            return _quantize(img)
-
-        self._render = jax.jit(_render)
-        self._render_spray = jax.jit(_render_spray)
+        # interactive tuning: 24+2x8 samples, ~112 ms/frame on the
+        # v5e at 640x360 with the MXU sampler (docs/PERF.md)
+        self._viewport = SceneRenderer(
+            self.width, self.height, flat=self.flat,
+            mesh_quality=self.mesh_quality, environment=self.environment,
+            march_steps=24, bisect_steps=6)
 
     # --- camera / host-side edits (instant; _cam_lock) --------------------
     def _apply_camera(self, name: str, value) -> None:
@@ -342,25 +312,6 @@ class WebViewer:
         return (jnp.asarray(pos), jnp.float32(pitch), jnp.float32(yaw))
 
     # --- simulation/render loop ------------------------------------------
-    def _advance_spray(self, maps, scales, dt):
-        import functools
-
-        import jax
-
-        from ..models import spray as spray_mod
-        if self._spray_state is None:
-            self._spray_params = spray_mod.SprayParams(
-                num_particles=self._spray_particles, emitter_extent=60.0)
-            self._spray_state = spray_mod.spray_init(self._spray_params)
-            # one dispatch per frame through the relay, not ~50 eager ones
-            self._spray_step = jax.jit(functools.partial(
-                spray_mod.spray_step, self._spray_params))
-        self._spray_clock += dt
-        self._spray_state, attrs = self._spray_step(
-            self._spray_state, maps, scales,
-            np.float32(self._spray_clock))
-        return attrs
-
     def _sim_loop(self) -> None:
         dt = 1.0 / self.fps
         maps = None
@@ -384,12 +335,10 @@ class WebViewer:
                 self._stop.wait(dt)
                 continue
             pos, pitch, yaw = self._camera_args()
-            if self.spray_enabled:
-                attrs = self._advance_spray(maps, scales, dt)
-                img = self._render_spray(maps, scales, wc, fc,
-                                         pos, pitch, yaw, attrs)
-            else:
-                img = self._render(maps, scales, wc, fc, pos, pitch, yaw)
+            attrs = (self._spray.advance(maps, scales, dt)
+                     if self.spray_enabled else None)
+            img = self._viewport.render(maps, scales, wc, fc,
+                                        pos, pitch, yaw, spray_attrs=attrs)
             png, mime = _frame_bytes(np.asarray(img))
             took = time.perf_counter() - t0
             self.stats.record(took)

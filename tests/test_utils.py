@@ -305,5 +305,5 @@ def test_live_viewer_spray_composites_in_3d_view():
                         input_fn=lambda: next(script, "q"),
                         output=io.StringIO(), spray=True, spray_particles=64)
     viewer.run(max_frames=4)
-    assert viewer._spray_state is not None
-    assert float(viewer._spray_clock) > 0.0
+    assert viewer._spray.started
+    assert float(viewer._spray.clock) > 0.0

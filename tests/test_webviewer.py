@@ -120,10 +120,10 @@ def test_webviewer_fly_camera_and_spray():
         frames0 = json.loads(_get(port, "/state")[2])["frame"]
         while time.time() < deadline:
             s = json.loads(_get(port, "/state")[2])
-            if s["frame"] >= frames0 + 2 and viewer._spray_state is not None:
+            if s["frame"] >= frames0 + 2 and viewer._spray.started:
                 break
             time.sleep(0.2)
-        assert viewer._spray_state is not None, "spray never advanced"
+        assert viewer._spray.started, "spray never advanced"
         assert s["spray"] is True
 
         # mesh quality switch rebuilds the renderer
