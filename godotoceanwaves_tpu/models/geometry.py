@@ -236,6 +236,15 @@ def _uniform_sample(ugrid: jax.Array, origin, cell, center_xz: jax.Array,
             + (v01 * (1 - ax) + v11 * ax) * az)
 
 
+def _pick_nbands(height: int, target: int = 16) -> int:
+    """Largest divisor of `height` <= target — the LOD band count (bands
+    must tile the frame exactly; 1 disables banding)."""
+    for nb in range(min(target, height), 1, -1):
+        if height % nb == 0:
+            return nb
+    return 1
+
+
 def camera_rays(width: int, height: int, pitch_deg, yaw_deg, fov_deg):
     """Pixel ray directions (H, W, 3) for the FlyCamera basis convention
     (same math as shading.render_ocean)."""
@@ -277,6 +286,9 @@ def render_ocean_geometry(
     sampler: str = "auto",      # "auto" | "mxu" | "gather" (uniform accel)
     march_res: int = 256,       # mxu march-table resolution (2 m cells)
     march_impl: str = "auto",   # "auto" | "pallas" (fused kernel) | "xla"
+    gradient_lod: bool = True,  # screen-space mip LOD for the gradient taps
+    lod_bands: int = 16,        # max horizontal LOD bands (must divide H)
+    lod_levels: int = 4,        # max mip pyramid depth for the LOD taps
     **shade_kwargs,
 ) -> jax.Array:
     """Perspective render of the DISPLACED clipmap mesh -> (H, W, 3) RGB.
@@ -473,9 +485,29 @@ def render_ocean_geometry(
     uz = jnp.where(found, uz, p[..., 2])
     uv = jnp.stack([ux, uz], axis=-1)
 
-    grad = shading.cascade_gradient(maps.normal, map_scales, uv,
-                                    sampler=sampler)
     dist = t_safe
+    nb = _pick_nbands(height, lod_bands) \
+        if (gradient_lod and sampler == "mxu") else 1
+    if nb > 1:
+        # screen-space LOD (shading.py "screen-space LOD" block): horizontal
+        # bands pick per-cascade mip levels from their minimum hit distance;
+        # all-sky bands skip their taps. Near bands run level 0 — the exact
+        # dense einsums. The reference has no mips (gradient_lod=False
+        # reproduces its full-res point sampling + aliasing).
+        pyr = shading.normal_gradient_pyramid(maps.normal, levels=lod_levels)
+        # central-pixel angular size; edge pixels subtend slightly less,
+        # which only tightens the (already conservative) sub-pixel bound
+        theta_pix = (2.0 * jnp.tan(jnp.deg2rad(
+            jnp.asarray(fov_deg, jnp.float32)) / 2) / width)
+        lev = shading.gradient_band_levels(
+            dist.reshape(nb, -1), hit.reshape(nb, -1), map_scales,
+            theta_pix, maps.normal.shape[-1], len(pyr))
+        grad = shading.cascade_gradient_lod(
+            pyr, map_scales, uv.reshape(nb, -1, 2), lev)
+        grad = grad.reshape(height, width, 3)
+    else:
+        grad = shading.cascade_gradient(maps.normal, map_scales, uv,
+                                        sampler=sampler)
     rgb = shading.shade(grad, p[..., 1], -d, light, dist, **shade_kwargs)
     rgb = jnp.where(hit[..., None], rgb, shading.sky_color(d, light))
     if environment:

@@ -228,27 +228,132 @@ def cascade_gradient(normal_maps: jax.Array, map_scales: jax.Array,
     grad = jnp.zeros(xz.shape[:-1] + (3,), jnp.float32)
     for i in range(normal_maps.shape[0]):
         s = map_scales[i]
-        uv = xz * s[:2]
         planes = normal_maps[i, jnp.array([0, 1, 3])].astype(jnp.float32)
-        ppm = n * jnp.minimum(s[0], s[1])
-        mix_t = jnp.minimum(1.0, ppm * 0.1)
         if sampler == "mxu":
-            # the blend factor is a per-cascade SCALAR; at production scales
-            # it saturates at exactly 1 (ppm*0.1 >= 1 for tile <= N/10 — true
-            # of every reference preset at N=1024), so the bicubic tap can be
-            # SKIPPED at runtime: each dense mxu tap is ~7 ms at 640x360
-            # (docs/PERF.md "Geometry render"), and lax.cond executes only
-            # the taken branch. Exact — not an approximation.
-            tap = jax.lax.cond(
-                mix_t >= 1.0,
-                lambda: bilinear(planes, uv),
-                lambda: (bicubic(planes, uv) * (1 - mix_t)
-                         + bilinear(planes, uv) * mix_t))
+            # _gradient_tap: same blend, plus the runtime bicubic skip when
+            # the per-cascade scalar blend factor saturates at exactly 1
+            # (ppm*0.1 >= 1 for tile <= N/10 — true of every reference
+            # preset at N=1024). Exact — not an approximation.
+            tap = _gradient_tap(planes, s, xz)
         else:
+            uv = xz * s[:2]
+            ppm = n * jnp.minimum(s[0], s[1])
+            mix_t = jnp.minimum(1.0, ppm * 0.1)
             tap = (bicubic(planes, uv) * (1 - mix_t)
                    + bilinear(planes, uv) * mix_t)
         grad = grad + jnp.moveaxis(tap, 0, -1) * jnp.stack([s[3], s[3], jnp.float32(1.0)])
     return grad
+
+
+def _gradient_tap(planes: jax.Array, s: jax.Array, xz: jax.Array) -> jax.Array:
+    """One cascade's blended gradient tap at world xz on the MXU sampler.
+
+    planes: (3, R, R) [grad_x, grad_y, foam]; s: the cascade's map_scales
+    row. Applies the reference's bicubic<->bilinear blend by pixels-per-
+    meter (water.gdshader:76-82) against THIS table's resolution — mips are
+    coarser, so ppm drops and the blend re-engages bicubic, exactly the
+    magnification case the filter exists for. The blend factor is a
+    per-cascade scalar; when it saturates at 1 (every production preset at
+    full res) lax.cond skips the dense bicubic tap at runtime
+    (docs/PERF.md "Geometry render"). Returns (3, ...).
+    """
+    n = planes.shape[-1]
+    uv = xz * s[:2]
+    ppm = n * jnp.minimum(s[0], s[1])
+    mix_t = jnp.minimum(1.0, ppm * 0.1)
+    return jax.lax.cond(
+        mix_t >= 1.0,
+        lambda: sample_bilinear_mxu(planes, uv),
+        lambda: (sample_bicubic_mxu(planes, uv) * (1 - mix_t)
+                 + sample_bilinear_mxu(planes, uv) * mix_t))
+
+
+# --- screen-space LOD for the gradient taps ---------------------------------
+# The dense MXU tap costs P x R^2 x ch FLOPs per cascade — at full res it is
+# the geometry render's single largest stage (docs/PERF.md). But most screen
+# pixels view the surface from far enough away that a cascade's fine waves
+# are sub-pixel: sampling them full-res buys aliasing, not detail. Classic
+# texture LOD, TPU-shaped: the frame is cut into horizontal bands, each band
+# picks a per-cascade mip level from its MINIMUM hit distance (conservative
+# — removed wavelengths stay below one pixel for every pixel in the band),
+# and a lax.scan over bands executes only the chosen lax.switch branch.
+# Bands with no water pixels skip their taps entirely (sky overwrites them).
+# Near bands select level 0 and stay bit-identical to the dense path. The
+# reference itself has no mips (it point-samples full res and aliases,
+# wave_generator.gd:34-35 textures are created mipless); gradient_lod=False
+# reproduces that behavior.
+
+def normal_gradient_pyramid(normal_maps: jax.Array, levels: int = 4) -> list:
+    """Per-cascade mip pyramid of the (grad_x, grad_y, foam) channels.
+
+    normal_maps: (C, 4, N, N) -> list of (C, 3, N/2^l, N/2^l), level 0 the
+    original channels. 2x2 average pooling preserves the half-texel center
+    convention exactly: the mean of texels 2i, 2i+1 sits at (2i+1)/N in uv,
+    which IS texel i's center at resolution N/2 (see the sampling
+    convention in `sample_bilinear`).
+    """
+    base = normal_maps[:, jnp.array([0, 1, 3])].astype(jnp.float32)
+    pyr = [base]
+    for _ in range(levels - 1):
+        c, ch, n, m = pyr[-1].shape
+        if n % 2 or m % 2 or min(n, m) <= 8:
+            break
+        pyr.append(pyr[-1].reshape(c, ch, n // 2, 2, m // 2, 2).mean((3, 5)))
+    return pyr
+
+
+def gradient_band_levels(dist_b: jax.Array, hit_b: jax.Array,
+                         map_scales: jax.Array, theta_pix,
+                         base_res: int, nlevels: int) -> jax.Array:
+    """Per-band per-cascade mip level -> (B, C) int32 in [0, nlevels].
+
+    dist_b/hit_b: (B, P) banded hit distances and water mask. Criterion:
+    content removed by level l (surface wavelengths < 2 L / (N / 2^l)) must
+    stay below one screen pixel (angular size theta_pix) at the band's
+    minimum hit distance — oblique foreshortening only shrinks waves
+    further on screen, so the bound is conservative. A band with no hit
+    pixels returns `nlevels`, the caller's skip branch.
+    """
+    dmin = jnp.min(jnp.where(hit_b, dist_b, jnp.inf), axis=1)        # (B,)
+    tiles = 1.0 / jnp.minimum(map_scales[:, 0], map_scales[:, 1])    # (C,)
+    r_req = tiles[None, :] / jnp.maximum(dmin[:, None] * theta_pix, 1e-9)
+    lev = jnp.floor(jnp.log2(jnp.maximum(
+        base_res / jnp.clip(r_req, 1.0, base_res), 1.0)))
+    lev = jnp.clip(lev, 0, nlevels - 1).astype(jnp.int32)
+    return jnp.where(jnp.isfinite(dmin)[:, None], lev, jnp.int32(nlevels))
+
+
+def cascade_gradient_lod(pyramid: list, map_scales: jax.Array,
+                         xz_bands: jax.Array, band_levels: jax.Array
+                         ) -> jax.Array:
+    """`cascade_gradient` (mxu sampler) with per-band mip levels.
+
+    pyramid: from `normal_gradient_pyramid`; xz_bands: (B, P, 2) banded
+    world coords; band_levels: (B, C) from `gradient_band_levels`
+    (level == len(pyramid) skips the cascade's tap for that band).
+    Returns (B, P, 3). Level-0 bands compute exactly the dense path's
+    einsums; the scan serializes bands, which costs nothing — each band's
+    tap is itself a large MXU contraction.
+    """
+    nlev = len(pyramid)
+    ncasc = pyramid[0].shape[0]
+
+    def band(_, inp):
+        xz_b, lev_b = inp
+        grad = jnp.zeros(xz_b.shape[:-1] + (3,), jnp.float32)
+        for i in range(ncasc):
+            s = map_scales[i]
+            branches = [
+                (lambda l=l: _gradient_tap(pyramid[l][i], s, xz_b))
+                for l in range(nlev)
+            ] + [lambda: jnp.zeros((3,) + xz_b.shape[:-1], jnp.float32)]
+            tap = jax.lax.switch(jnp.minimum(lev_b[i], nlev), branches)
+            grad = grad + jnp.moveaxis(tap, 0, -1) * jnp.stack(
+                [s[3], s[3], jnp.float32(1.0)])
+        return None, grad
+
+    _, out = jax.lax.scan(band, None, (xz_bands, band_levels))
+    return out
 
 
 def smith_masking_shadowing(cos_theta: jax.Array, alpha: jax.Array) -> jax.Array:

@@ -29,9 +29,9 @@ def ocean_maps():
     return maps, o.params.map_scales()
 
 
-def _sky_mask(img):
+def _sky_mask(img, pitch_deg=CAM["pitch_deg"], yaw_deg=CAM["yaw_deg"]):
     """True where the renderer wrote sky (both paths share sky_color)."""
-    d = geometry.camera_rays(W, H, CAM["pitch_deg"], CAM["yaw_deg"], 70.0)
+    d = geometry.camera_rays(W, H, pitch_deg, yaw_deg, 70.0)
     light = jnp.asarray(LIGHT) / np.linalg.norm(LIGHT)
     sky = np.asarray(jnp.clip(shading.sky_color(d, light), 0.0, 1.0))
     return (np.abs(np.asarray(img) - sky) < 1e-6).all(axis=-1)
@@ -160,7 +160,8 @@ def test_mxu_sampler_matches_gather(ocean_maps):
     # isolates the sampler (bf16 rounding + crossing shifts); production
     # march_res=256 additionally trades ~20 cm of fine-wave height detail
     mxu = np.asarray(geometry.render_ocean_geometry(
-        maps, scales, "low", sampler="mxu", march_res=512, **kw))
+        maps, scales, "low", sampler="mxu", march_res=512,
+        gradient_lod=False, **kw))
     gat = np.asarray(geometry.render_ocean_geometry(
         maps, scales, "low", sampler="gather", **kw))
     diff = np.abs(mxu - gat)
@@ -184,6 +185,81 @@ def test_pallas_march_matches_xla_bracket(ocean_maps):
     assert diff.mean() < 5e-3
     sky_p, sky_x = _sky_mask(pal), _sky_mask(xla)
     assert (sky_p != sky_x).mean() < 0.01
+
+
+def test_gradient_pyramid_convention_and_levels(ocean_maps):
+    """2x2 average pooling preserves the half-texel center convention: a
+    LINEAR field sampled through any pyramid level returns the same value
+    (pooling a linear field is exact and block centers land on the coarser
+    grid's texel centers)."""
+    n = 32
+    x = jnp.arange(n, dtype=jnp.float32) / n
+    lin = 0.7 * x[None, :] + 0.3 * x[:, None] + 0.1       # linear in texels
+    maps4 = jnp.stack([lin, 2 * lin, jnp.zeros_like(lin), 3 * lin]
+                      )[None]                               # (1, 4, n, n)
+    pyr = shading.normal_gradient_pyramid(maps4, levels=3)
+    assert [p.shape[-1] for p in pyr] == [32, 16, 8]
+    # sample well inside the domain (away from the wrap seam, where the
+    # coarser level's circular hat spans the discontinuity more widely);
+    # tolerance = a few bf16 ulps at the field scale (~3)
+    uv = jnp.asarray([[0.4, 0.55], [0.25, 0.3], [0.6, 0.62]])
+    t0 = shading.sample_bilinear_mxu(pyr[0][0], uv)
+    t1 = shading.sample_bilinear_mxu(pyr[1][0], uv)
+    t2 = shading.sample_bilinear_mxu(pyr[2][0], uv)
+    np.testing.assert_allclose(np.asarray(t1), np.asarray(t0),
+                               rtol=0, atol=0.04)
+    np.testing.assert_allclose(np.asarray(t2), np.asarray(t0),
+                               rtol=0, atol=0.08)
+
+
+def test_gradient_band_levels_selection():
+    """Level selection: near band -> 0, farther bands -> coarser, no-hit
+    band -> the skip index (nlevels)."""
+    scales = jnp.asarray([[1 / 88.0, 1 / 88.0, 1.0, 1.0],
+                          [1 / 16.0, 1 / 16.0, 1.0, 0.25]])
+    theta = 2e-3                                  # ~640 px @ 70 deg fov
+    dist = jnp.asarray([[5.0, 8.0], [300.0, 900.0], [1.0, 1.0]])
+    hit = jnp.asarray([[True, True], [True, True], [False, False]])
+    lev = np.asarray(shading.gradient_band_levels(
+        dist, hit, scales, theta, base_res=1024, nlevels=4))
+    assert lev.shape == (3, 2)
+    assert (lev[0] == 0).all()                    # 5 m: sub-pixel bound huge
+    assert (lev[1] > 0).all()                     # 300 m: mips engage
+    assert lev[1, 1] >= lev[1, 0]                 # smaller tile -> coarser
+    assert (lev[2] == 4).all()                    # no hits -> skip branch
+
+
+def test_gradient_lod_near_field_is_exact(ocean_maps):
+    """Looking steeply down (all hit distances small) every band selects
+    level 0, so the LOD render must equal the dense mxu render."""
+    maps, scales = ocean_maps
+    kw = dict(width=W, height=H, light_dir=LIGHT, march_steps=20,
+              bisect_steps=6, sampler="mxu",
+              camera_pos=(0.0, 6.0, 0.0), pitch_deg=-50.0, yaw_deg=0.0)
+    lod = np.asarray(geometry.render_ocean_geometry(
+        maps, scales, "low", gradient_lod=True, **kw))
+    ref = np.asarray(geometry.render_ocean_geometry(
+        maps, scales, "low", gradient_lod=False, **kw))
+    np.testing.assert_allclose(lod, ref, rtol=0, atol=1e-5)
+
+
+def test_gradient_lod_far_field_stays_close(ocean_maps):
+    """A horizon view engages coarser levels; the image must stay close to
+    the dense render (removed wavelengths are sub-pixel at the band's
+    minimum hit distance) while sky pixels match exactly."""
+    maps, scales = ocean_maps
+    kw = dict(width=W, height=H, light_dir=LIGHT, march_steps=20,
+              bisect_steps=6, sampler="mxu",
+              camera_pos=(0.0, 40.0, 0.0), pitch_deg=-8.0, yaw_deg=0.0)
+    lod = np.asarray(geometry.render_ocean_geometry(
+        maps, scales, "low", gradient_lod=True, **kw))
+    ref = np.asarray(geometry.render_ocean_geometry(
+        maps, scales, "low", gradient_lod=False, **kw))
+    assert np.abs(lod - ref).mean() < 0.02
+    sky = (_sky_mask(ref, pitch_deg=-8.0) & _sky_mask(lod, pitch_deg=-8.0))
+    np.testing.assert_array_equal(lod[sky], ref[sky])
+    # the machinery actually engaged: some water pixel differs (mip blur)
+    assert np.abs(lod - ref).max() > 1e-6
 
 
 def test_separable_grid_displacement_matches_pointwise(ocean_maps):

@@ -1,5 +1,6 @@
 """Long-horizon and statistical-physics sanity tests (full Tessendorf loop)."""
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -11,11 +12,15 @@ import oracle
 N = 64
 
 
-def test_multi_step_full_loop_parity_with_oracle(rms):
+@pytest.mark.parametrize("godot_seeds", [False, True])
+def test_multi_step_full_loop_parity_with_oracle(rms, godot_seeds):
     """Config-3-style: 3 full frames (modulate->Stockham chain->unpack with
-    foam recurrence) vs the staged NumPy oracle, bit-for-bit plumbing."""
+    foam recurrence) vs the staged NumPy oracle, bit-for-bit plumbing.
+    godot_seeds=True runs the same parity with the Godot-stream preset
+    seeds (water.gd:31 protocol) — negative/large seed values exercise the
+    hash's full integer range through every stage."""
     cfg = SimConfig(map_size=N, fft_impl="xla")
-    params = default_cascades()
+    params = default_cascades(godot_seeds=godot_seeds)
     state = init_state(cfg, params)
     dt = 0.1
 
