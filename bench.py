@@ -23,7 +23,10 @@ timing blocks; p99/min/max as extra fields so variance regressions are
 visible), then — once the config-5 leg (2048^2 dual wind+swell spectra on
 the strip tier + MapStreamer host streaming) completes — a second full JSON
 line repeating the record with config5_* fields attached, so the
-scale-past-the-reference-cap figures are machine-checkable too.
+scale-past-the-reference-cap figures are machine-checkable too; finally a
+third full line adds render_ms_frame (the 640x360 displaced-geometry
+render). Each later line is a superset of the former, so any
+last-line/first-line parser gets a valid record.
 """
 from __future__ import annotations
 
@@ -142,6 +145,48 @@ def _config5_subprocess() -> None:
                       "stream_fps": r5["stream_fps"], "fft": r5["fft"]}))
 
 
+def bench_render() -> dict:
+    """Displaced-geometry render (no reference baseline — the capability the
+    reference delivers via GPU rasterization, here an array renderer):
+    640x360, "high" clipmap, 3 default cascades at 1024^2, viewer schedule
+    (24 bracket + 2x8 refine samples), screen-space gradient LOD. Chained
+    via a scalar folded into the camera pose (docs/PERF.md protocol)."""
+    from godotoceanwaves_tpu import Ocean
+    from godotoceanwaves_tpu.models import geometry
+
+    ocean = Ocean(map_size=1024, map_dtype="bfloat16", updates_per_second=0)
+    maps = ocean.update(1 / 60)
+    scales = ocean.params.map_scales()
+    cam0 = jnp.array([0.0, 12.0, 0.0], jnp.float32)
+
+    @jax.jit
+    def frame(eps):
+        img = geometry.render_ocean_geometry(
+            maps, scales, quality="high", width=640, height=360,
+            camera_pos=cam0 + eps * 1e-6, march_steps=24, bisect_steps=6,
+            environment=True, sampler="mxu")
+        return jnp.sum(img)
+
+    chk = jax.jit(lambda t: jnp.abs(t))
+    carry = jnp.float32(0.0)
+    for _ in range(2):
+        carry = frame(carry)
+    float(chk(carry))
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(12):
+            carry = frame(carry)
+        float(chk(carry))
+        best = min(best, (time.perf_counter() - t0) / 12 * 1e3)
+    return {"ms_frame": best}
+
+
+def _render_subprocess() -> None:
+    """Entry for `python bench.py --render`: isolated render-leg run."""
+    print(json.dumps(bench_render()))
+
+
 def main() -> None:
     r4 = bench_config4()
     config = r4["config"]
@@ -184,20 +229,43 @@ def main() -> None:
             f"{r5['stream_fps']:.2f} frames/s (BASELINE.md config 5)",
             file=sys.stderr,
         )
-        print(json.dumps({
+        record = {
             **record,
             "config5_ms_frame": round(r5["ms_frame"], 4),
             "config5_stream_fps": round(r5["stream_fps"], 4),
             "config5_fft": r5["fft"],
-        }))
+        }
+        print(json.dumps(record))
         sys.stdout.flush()
     except Exception as e:  # config-5 is informational; never fail the bench
         print(f"config5 bench failed: {e!r}", file=sys.stderr)
+    # Render leg (same pattern: informational, appended as a further full
+    # JSON line so the last stdout line stays a superset record). Fresh
+    # process for the same allocator-isolation reason as config 5.
+    try:
+        import pathlib
+        import subprocess
+        out = subprocess.run(
+            [sys.executable, str(pathlib.Path(__file__).resolve()), "--render"],
+            capture_output=True, text=True, timeout=2400, check=True)
+        rr = json.loads(out.stdout.strip().splitlines()[-1])
+        print(
+            f"render: 640x360 displaced-geometry frame (high mesh, LOD) "
+            f"{rr['ms_frame']:.2f} ms/frame (docs/PERF.md 'Geometry render')",
+            file=sys.stderr,
+        )
+        print(json.dumps({**record,
+                          "render_ms_frame": round(rr["ms_frame"], 4)}))
+        sys.stdout.flush()
+    except Exception as e:
+        print(f"render bench failed: {e!r}", file=sys.stderr)
 
 
 
 if __name__ == "__main__":
     if "--config5" in sys.argv:
         _config5_subprocess()
+    elif "--render" in sys.argv:
+        _render_subprocess()
     else:
         main()

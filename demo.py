@@ -132,7 +132,9 @@ def main() -> None:
     # vertex-displaced clipmap mesh (models/geometry.py) — silhouettes and
     # parallax, the reference's defining visual; --flat keeps the y=0
     # raycast.
-    from godotoceanwaves_tpu.models.viewport import SceneRenderer, SpraySession
+    from godotoceanwaves_tpu.models.viewport import (FramePipeline,
+                                                     SceneRenderer,
+                                                     SpraySession)
     viewport = SceneRenderer(args.width, args.height, flat=args.flat,
                              mesh_quality=args.mesh_quality,
                              environment=args.environment)
@@ -142,6 +144,9 @@ def main() -> None:
     frames = []
     scales = ocean.params.map_scales()
     cam_pos = tuple(float(v) for v in args.camera.split(","))
+    # pipelined fetch: frame N's 0.7 MB host copy overlaps frame N+1's
+    # device work (models/viewport.FramePipeline, docs/PERF.md)
+    pipeline = FramePipeline()
     for i in range(args.frames):
         t0 = time.perf_counter()
         maps = ocean.update(dt) or maps
@@ -150,8 +155,13 @@ def main() -> None:
         img = viewport.render(maps, scales, ocean.water_color,
                               ocean.foam_color, cam_pos, args.pitch,
                               args.yaw, spray_attrs=attrs)
-        frames.append(np.asarray(img))
+        host = pipeline.push(img)
+        if host is not None:
+            frames.append(host)
         stats.record(time.perf_counter() - t0)
+    last = pipeline.flush()
+    if last is not None:
+        frames.append(last)
 
     if args.out:
         outdir = pathlib.Path(args.out)
