@@ -187,8 +187,33 @@ def _render_subprocess() -> None:
     print(json.dumps(bench_render()))
 
 
+def _init_watchdog(seconds: float = 1800.0) -> "threading.Event":
+    """Abort (rc=3) if the first measurement never lands.
+
+    The tunneled backend's device init (`make_c_api_client`) can block
+    INDEFINITELY when the relay's remote side is wedged (observed during
+    a round-3 outage: >80 min, no timeout anywhere in the stack). An
+    unattended bench run must fail loudly rather than hang the driver;
+    the daemon timer fires only if config 4 hasn't completed in time."""
+    import threading
+    done = threading.Event()
+
+    def fire():
+        if not done.wait(seconds):
+            import os
+            print(f"bench watchdog: no config-4 result within {seconds:.0f}s "
+                  "(backend init or compile hung) — aborting", file=sys.stderr)
+            sys.stderr.flush()
+            os._exit(3)
+
+    threading.Thread(target=fire, daemon=True).start()
+    return done
+
+
 def main() -> None:
+    watchdog_done = _init_watchdog()
     r4 = bench_config4()
+    watchdog_done.set()
     config = r4["config"]
     print(
         f"backend={jax.default_backend()} device={jax.devices()[0].device_kind} "

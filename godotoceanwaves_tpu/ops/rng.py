@@ -11,13 +11,18 @@ All functions operate elementwise on arrays and are safe under `jit`/`vmap`.
 """
 from __future__ import annotations
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 
 _U32 = jnp.uint32
 # float(0x7FFFFFFF) rounds to 2147483648.0 in fp32, matching GLSL's
-# `/ float(0x7FFFFFFF)` (spectrum_compute.glsl:40).
-_INV_U31 = jnp.float32(0x7FFFFFFF)
+# `/ float(0x7FFFFFFF)` (spectrum_compute.glsl:40). A NumPy scalar, NOT
+# jnp: a module-scope jnp constant initializes the device backend at
+# IMPORT time (on this tunneled backend that can block indefinitely when
+# the relay is down — importing a library must never need live hardware).
+_INV_U31 = np.float32(0x7FFFFFFF)
 
 
 def hash_uvec2(x: jax.Array, y: jax.Array) -> tuple[jax.Array, jax.Array]:
