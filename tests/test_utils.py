@@ -307,3 +307,24 @@ def test_live_viewer_spray_composites_in_3d_view():
     viewer.run(max_frames=4)
     assert viewer._spray.started
     assert float(viewer._spray.clock) > 0.0
+
+
+def test_package_import_never_initializes_a_backend():
+    """Importing the library must not bring up any PJRT backend: on the
+    tunneled deployment target, device init can block INDEFINITELY when
+    the relay is unreachable, and an import must never need live hardware
+    (regression: a module-scope jnp scalar in ops/rng.py did exactly
+    that). The probe reads jax's backend cache without populating it."""
+    import subprocess
+    import sys
+
+    code = (
+        "import godotoceanwaves_tpu\n"
+        "from jax._src import xla_bridge\n"
+        "assert not xla_bridge._backends, list(xla_bridge._backends)\n"
+        "print('clean')\n"
+    )
+    out = subprocess.run([sys.executable, "-c", code],
+                         capture_output=True, text=True, timeout=180)
+    assert out.returncode == 0, out.stderr
+    assert "clean" in out.stdout
