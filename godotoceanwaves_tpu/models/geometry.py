@@ -289,6 +289,7 @@ def render_ocean_geometry(
     gradient_lod: bool = True,  # screen-space mip LOD for the gradient taps
     lod_bands: int = 16,        # max horizontal LOD bands (must divide H)
     lod_levels: int = 4,        # max mip pyramid depth for the LOD taps
+    lod_bias: float = 1.0,      # >1 = coarser mips (speed/detail tradeoff)
     **shade_kwargs,
 ) -> jax.Array:
     """Perspective render of the DISPLACED clipmap mesh -> (H, W, 3) RGB.
@@ -501,7 +502,7 @@ def render_ocean_geometry(
             jnp.asarray(fov_deg, jnp.float32)) / 2) / width)
         lev = shading.gradient_band_levels(
             dist.reshape(nb, -1), hit.reshape(nb, -1), map_scales,
-            theta_pix, maps.normal.shape[-1], len(pyr))
+            theta_pix, maps.normal.shape[-1], len(pyr), bias=lod_bias)
         grad = shading.cascade_gradient_lod(
             pyr, map_scales, uv.reshape(nb, -1, 2), lev)
         grad = grad.reshape(height, width, 3)

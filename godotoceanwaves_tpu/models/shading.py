@@ -304,7 +304,8 @@ def normal_gradient_pyramid(normal_maps: jax.Array, levels: int = 4) -> list:
 
 def gradient_band_levels(dist_b: jax.Array, hit_b: jax.Array,
                          map_scales: jax.Array, theta_pix,
-                         base_res: int, nlevels: int) -> jax.Array:
+                         base_res: int, nlevels: int,
+                         bias: float = 1.0) -> jax.Array:
     """Per-band per-cascade mip level -> (B, C) int32 in [0, nlevels].
 
     dist_b/hit_b: (B, P) banded hit distances and water mask. Criterion:
@@ -313,10 +314,18 @@ def gradient_band_levels(dist_b: jax.Array, hit_b: jax.Array,
     minimum hit distance — oblique foreshortening only shrinks waves
     further on screen, so the bound is conservative. A band with no hit
     pixels returns `nlevels`, the caller's skip branch.
+
+    `bias` > 1 coarsens selection by ~log2(bias) levels: a SPEED knob that
+    trades transverse detail for fewer full-res taps (the along-view
+    footprint at grazing angles is 1/sin(angle) wider than the transverse
+    one this criterion uses, so a moderate bias leans toward classic
+    isotropic max-derivative LOD instead of this min-derivative rule).
+    bias=1.0 (default) keeps the conservative sub-pixel bound.
     """
     dmin = jnp.min(jnp.where(hit_b, dist_b, jnp.inf), axis=1)        # (B,)
     tiles = 1.0 / jnp.minimum(map_scales[:, 0], map_scales[:, 1])    # (C,)
-    r_req = tiles[None, :] / jnp.maximum(dmin[:, None] * theta_pix, 1e-9)
+    r_req = tiles[None, :] / jnp.maximum(
+        dmin[:, None] * theta_pix * jnp.float32(bias), 1e-9)
     lev = jnp.floor(jnp.log2(jnp.maximum(
         base_res / jnp.clip(r_req, 1.0, base_res), 1.0)))
     lev = jnp.clip(lev, 0, nlevels - 1).astype(jnp.int32)

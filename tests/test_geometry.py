@@ -243,6 +243,33 @@ def test_gradient_lod_near_field_is_exact(ocean_maps):
     np.testing.assert_allclose(lod, ref, rtol=0, atol=1e-5)
 
 
+def test_gradient_band_levels_bias_coarsens():
+    """bias > 1 shifts selection coarser by ~log2(bias) levels; bias=1 is
+    the identity (the conservative default)."""
+    scales = jnp.asarray([[1 / 88.0, 1 / 88.0, 1.0, 1.0]])
+    dist = jnp.asarray([[120.0, 300.0]])
+    hit = jnp.asarray([[True, True]])
+    kw = dict(map_scales=scales, theta_pix=2e-3, base_res=1024, nlevels=6)
+    l1 = np.asarray(shading.gradient_band_levels(dist, hit, bias=1.0, **kw))
+    l4 = np.asarray(shading.gradient_band_levels(dist, hit, bias=4.0, **kw))
+    assert (l4 >= l1).all()
+    assert (l4 - l1 == 2).all()        # log2(4) = 2 whole levels coarser
+
+
+def test_gradient_lod_bias_changes_far_field_only_moderately(ocean_maps):
+    """lod_bias=2 must still render a recognizably similar image (it drops
+    only content within a factor 2 of the sub-pixel bound)."""
+    maps, scales = ocean_maps
+    kw = dict(width=W, height=H, light_dir=LIGHT, march_steps=20,
+              bisect_steps=6, sampler="mxu",
+              camera_pos=(0.0, 40.0, 0.0), pitch_deg=-8.0, yaw_deg=0.0)
+    biased = np.asarray(geometry.render_ocean_geometry(
+        maps, scales, "low", gradient_lod=True, lod_bias=2.0, **kw))
+    ref = np.asarray(geometry.render_ocean_geometry(
+        maps, scales, "low", gradient_lod=False, **kw))
+    assert np.abs(biased - ref).mean() < 0.04
+
+
 def test_gradient_lod_far_field_stays_close(ocean_maps):
     """A horizon view engages coarser levels; the image must stay close to
     the dense render (removed wavelengths are sub-pixel at the band's
