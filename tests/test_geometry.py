@@ -289,6 +289,20 @@ def test_gradient_lod_far_field_stays_close(ocean_maps):
     assert np.abs(lod - ref).max() > 1e-6
 
 
+def test_gradient_lod_yawed_camera_stays_close(ocean_maps):
+    """Yaw doesn't break the horizontal banding (bands are screen rows;
+    the horizon stays horizontal under yaw — there is no roll)."""
+    maps, scales = ocean_maps
+    kw = dict(width=W, height=H, light_dir=LIGHT, march_steps=20,
+              bisect_steps=6, sampler="mxu",
+              camera_pos=(3.0, 25.0, -7.0), pitch_deg=-10.0, yaw_deg=35.0)
+    lod = np.asarray(geometry.render_ocean_geometry(
+        maps, scales, "low", gradient_lod=True, **kw))
+    ref = np.asarray(geometry.render_ocean_geometry(
+        maps, scales, "low", gradient_lod=False, **kw))
+    assert np.abs(lod - ref).mean() < 0.02
+
+
 def test_separable_grid_displacement_matches_pointwise(ocean_maps):
     """cascade_displacement_grid (two-matmul separable tensor-grid sampler)
     must equal cascade_displacement evaluated pointwise on the same grid —
