@@ -1,0 +1,48 @@
+"""Measure the web viewer's steady-state serving rate through HTTP.
+
+Starts a WebViewer (1024^2 bf16 maps, spray on) on an ephemeral port, waits
+for the sim thread to reach steady state, and samples the served-frame
+counter over a minute — the end-to-end figure the PERF.md "viewer loop"
+ledger records. Run detached on the TPU:
+
+    nohup python scripts/probe_webviewer.py > /tmp/probe_web.log 2>&1 &
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+import urllib.request
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from godotoceanwaves_tpu import Ocean
+from godotoceanwaves_tpu.utils.webviewer import WebViewer
+
+
+def main():
+    o = Ocean(map_size=1024, map_dtype="bfloat16", updates_per_second=0)
+    v = WebViewer(o, fps=15.0, spray=True)
+    port = v.start(port=0)
+    print("serving on", port, flush=True)
+
+    def state():
+        return json.loads(urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/state", timeout=10).read())
+
+    deadline = time.time() + 900
+    while time.time() < deadline and state()["frame"] < 10:
+        time.sleep(10)
+    f0, t0 = state()["frame"], time.time()
+    time.sleep(60)
+    f1, t1 = state()["frame"], time.time()
+    s = state()
+    print(f"served {(f1 - f0) / (t1 - t0):.2f} frames/s over {t1 - t0:.0f}s; "
+          f"sim-thread {s.get('fps', 0.0):.2f} fps / "
+          f"{s.get('ms_frame', 0.0):.1f} ms/frame", flush=True)
+    v.stop()
+
+
+if __name__ == "__main__":
+    main()
