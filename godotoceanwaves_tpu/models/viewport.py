@@ -26,6 +26,53 @@ import jax.numpy as jnp
 from . import geometry, shading, spray
 
 
+# --- wire formats ----------------------------------------------------------
+# BT.601 full-range RGB<->YCbCr (the JPEG convention, ITU-T T.871). The web
+# viewer JPEG-encodes every frame at 4:2:0 anyway, so doing the chroma
+# subsample ON DEVICE is visually free and halves the bytes crossing the
+# ~5-10 MB/s relay: 3 B/px RGB -> 1.5 B/px planar YUV420.
+
+
+def _rgb_to_yuv420(srgb):
+    """(H, W, 3) float sRGB-encoded [0,255] -> flat uint8 Y + Cb + Cr planes
+    (chroma 2x2-mean subsampled). H and W must be even."""
+    r, g, b = srgb[..., 0], srgb[..., 1], srgb[..., 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+    cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+    h, w = y.shape
+
+    def sub(c):
+        return c.reshape(h // 2, 2, w // 2, 2).mean(axis=(1, 3))
+
+    q = lambda c: jnp.clip(jnp.round(c), 0.0, 255.0).astype(jnp.uint8)
+    return jnp.concatenate([q(y).ravel(), q(sub(cb)).ravel(),
+                            q(sub(cr)).ravel()])
+
+
+def yuv420_to_ycbcr(flat: np.ndarray, height: int, width: int) -> np.ndarray:
+    """Host-side unpack of the YUV420 wire format -> (H, W, 3) uint8 YCbCr
+    (chroma nearest-upsampled; feed straight to a JPEG encoder)."""
+    flat = np.asarray(flat)
+    n, q = height * width, (height // 2) * (width // 2)
+    y = flat[:n].reshape(height, width)
+    cb = flat[n:n + q].reshape(height // 2, width // 2)
+    cr = flat[n + q:].reshape(height // 2, width // 2)
+    up = lambda c: np.repeat(np.repeat(c, 2, axis=0), 2, axis=1)
+    return np.stack([y, up(cb), up(cr)], axis=-1)
+
+
+def ycbcr_to_rgb(ycbcr: np.ndarray) -> np.ndarray:
+    """(H, W, 3) uint8 full-range YCbCr -> uint8 RGB (BT.601 inverse)."""
+    y = ycbcr[..., 0].astype(np.float32)
+    cb = ycbcr[..., 1].astype(np.float32) - 128.0
+    cr = ycbcr[..., 2].astype(np.float32) - 128.0
+    rgb = np.stack([y + 1.402 * cr,
+                    y - 0.344136 * cb - 0.714136 * cr,
+                    y + 1.772 * cb], axis=-1)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
 class SceneRenderer:
     """Jitted render closures for one viewport configuration.
 
@@ -35,16 +82,27 @@ class SceneRenderer:
     raycast (`shading.render_ocean`). Camera pose and the session's
     global colors (water.gd:14-18) ride as traced args — flying and
     recoloring never retrace.
+
+    ``transfer`` picks the wire format the jit returns: ``"rgb"`` = (H, W, 3)
+    uint8 (offline frames, ANSI cells), ``"yuv420"`` = flat uint8 planar
+    Y/Cb/Cr at 1.5 B/px (half the device->host bytes; unpack with
+    `yuv420_to_ycbcr`). Requires even width/height.
     """
 
     def __init__(self, width: int, height: int, *, flat: bool = False,
                  mesh_quality: str = "high", environment: bool = True,
-                 march_steps: int = 40, bisect_steps: int = 8):
+                 march_steps: int = 40, bisect_steps: int = 8,
+                 transfer: str = "rgb"):
+        if transfer not in ("rgb", "yuv420"):
+            raise ValueError(f"unknown transfer format {transfer!r}")
+        if transfer == "yuv420" and (width % 2 or height % 2):
+            raise ValueError("yuv420 transfer needs even width/height")
         self.width = width
         self.height = height
         self.flat = flat
         self.mesh_quality = mesh_quality
         self.environment = environment
+        self.transfer = transfer
 
         def scene(maps, scales, wc, fc, pos, pitch, yaw):
             if flat:
@@ -59,8 +117,10 @@ class SceneRenderer:
                 bisect_steps=bisect_steps, water_color=wc, foam_color=fc)
 
         def quantize(img):
-            return (jnp.clip(img, 0.0, 1.0) ** (1 / 2.2) * 255
-                    ).astype(jnp.uint8)
+            srgb = jnp.clip(img, 0.0, 1.0) ** (1 / 2.2) * 255
+            if transfer == "yuv420":
+                return _rgb_to_yuv420(srgb)
+            return srgb.astype(jnp.uint8)
 
         def render(maps, scales, wc, fc, pos, pitch, yaw):
             return quantize(scene(maps, scales, wc, fc, pos, pitch, yaw))
@@ -78,7 +138,8 @@ class SceneRenderer:
 
     def render(self, maps, scales, water_color, foam_color, pos, pitch, yaw,
                spray_attrs=None) -> jax.Array:
-        """One jitted dispatch -> (H, W, 3) uint8 frame (gamma-encoded)."""
+        """One jitted dispatch -> uint8 frame in the configured wire format
+        (``"rgb"``: gamma-encoded (H, W, 3); ``"yuv420"``: flat planar)."""
         wc = jnp.asarray(water_color, jnp.float32)
         fc = jnp.asarray(foam_color, jnp.float32)
         pos = jnp.asarray(pos, jnp.float32)

@@ -44,18 +44,23 @@ from .live import PARAM_STEPS, RESOLUTIONS
 from .observability import FrameStats
 
 
-def _frame_bytes(arr: np.ndarray) -> tuple[bytes, str]:
+def _frame_bytes(arr: np.ndarray, mode: str = "RGB") -> tuple[bytes, str]:
     """Encode a frame for the wire. JPEG q85 is ~10x smaller than PNG —
     decisive when the link is slow (the tunnel relay here moves ~5 MB/s,
-    so PNG capped the viewer near 2 fps). Falls back to PNG if the PIL
-    build lacks JPEG support."""
+    so PNG capped the viewer near 2 fps). ``mode="YCbCr"`` takes the
+    device-subsampled YUV frame straight into the JPEG encoder (its native
+    color space — no RGB round trip). Falls back to PNG if the PIL build
+    lacks JPEG support."""
     from PIL import Image
 
     buf = io.BytesIO()
     try:
-        Image.fromarray(arr).save(buf, format="JPEG", quality=85)
+        Image.fromarray(arr, mode).save(buf, format="JPEG", quality=85)
         return buf.getvalue(), "image/jpeg"
     except Exception:
+        if mode == "YCbCr":
+            from ..models.viewport import ycbcr_to_rgb
+            arr = ycbcr_to_rgb(arr)
         buf = io.BytesIO()
         Image.fromarray(arr).save(buf, format="PNG")
         return buf.getvalue(), "image/png"
@@ -279,11 +284,16 @@ class WebViewer:
         from ..models.viewport import SceneRenderer
 
         # interactive tuning: 24+2x8 samples, ~112 ms/frame on the
-        # v5e at 640x360 with the MXU sampler (docs/PERF.md)
+        # v5e at 640x360 with the MXU sampler (docs/PERF.md). The viewer
+        # loop is transfer-bound through the relay, so frames cross as
+        # device-subsampled YUV420 (1.5 B/px, half of RGB) — visually free
+        # because the JPEG these bytes become is 4:2:0 anyway.
+        transfer = ("yuv420" if self.width % 2 == 0 and self.height % 2 == 0
+                    else "rgb")
         self._viewport = SceneRenderer(
             self.width, self.height, flat=self.flat,
             mesh_quality=self.mesh_quality, environment=self.environment,
-            march_steps=24, bisect_steps=6)
+            march_steps=24, bisect_steps=6, transfer=transfer)
 
     # --- camera / host-side edits (instant; _cam_lock) --------------------
     def _apply_camera(self, name: str, value) -> None:
@@ -346,7 +356,12 @@ class WebViewer:
                                         pos, pitch, yaw, spray_attrs=attrs)
             host = pipeline.push(img)
             if host is not None:
-                png, mime = _frame_bytes(host)
+                if self._viewport.transfer == "yuv420":
+                    from ..models.viewport import yuv420_to_ycbcr
+                    ycbcr = yuv420_to_ycbcr(host, self.height, self.width)
+                    png, mime = _frame_bytes(ycbcr, mode="YCbCr")
+                else:
+                    png, mime = _frame_bytes(host)
                 with self._frame_lock:
                     self._png = png
                     self._mime = mime

@@ -1,0 +1,41 @@
+#!/bin/bash
+# Wait for the axon relay to come back, then run the TPU deliverables that
+# were blocked by the outage (see CLAUDE.md "relay-outage playbook"):
+#   1. bench.py              -> full 3-JSON-line record incl. the render leg
+#   2. probe_webviewer.py    -> steady-state HTTP serving rate for PERF.md
+#   3. showcase GIF refresh  -> docs/demo_ocean_spray.gif at the LOD defaults
+#
+# Run detached:  nohup bash scripts/on_tunnel_return.sh > /tmp/tunnel_return/watch.log 2>&1 &
+set -u
+LOG=/tmp/tunnel_return
+mkdir -p "$LOG"
+cd "$(dirname "$0")/.."
+
+echo "watching for relay return, probe every 10 min" && date
+
+while true; do
+    if timeout 180 python -c "import jax; jax.devices()" >/dev/null 2>&1; then
+        break
+    fi
+    date +"%F %T still down" >> "$LOG/probe.log"
+    sleep 600
+done
+date +"%F %T relay BACK" | tee "$LOG/returned.txt"
+
+# Each stage runs in its own process (the backend pages HBM to host; fresh
+# processes avoid cross-contamination) and is individually bounded.
+echo "=== bench.py ===" && date
+timeout 3000 python bench.py > "$LOG/bench.log" 2>&1
+echo "bench exit=$?"
+
+echo "=== probe_webviewer ===" && date
+timeout 2400 python scripts/probe_webviewer.py > "$LOG/probe_web.log" 2>&1
+echo "probe_web exit=$?"
+
+echo "=== showcase gif ===" && date
+timeout 3600 python demo.py --spray --wind-speed 16 --camera 0,4.5,0 \
+    --pitch -5 --environment --frames 48 --gif "$LOG/showcase.gif" \
+    > "$LOG/gif.log" 2>&1
+echo "gif exit=$?"
+
+date +"%F %T all stages done" | tee "$LOG/done.txt"

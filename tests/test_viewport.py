@@ -1,8 +1,12 @@
-"""models/viewport shared plumbing: FramePipeline fetch overlap semantics."""
+"""models/viewport shared plumbing: FramePipeline fetch overlap semantics
+and the YUV420 wire format (device-side JPEG chroma subsampling)."""
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
-from godotoceanwaves_tpu.models.viewport import FramePipeline
+from godotoceanwaves_tpu.models.viewport import (FramePipeline, SceneRenderer,
+                                                 _rgb_to_yuv420,
+                                                 ycbcr_to_rgb, yuv420_to_ycbcr)
 
 
 def test_frame_pipeline_one_frame_lag_and_flush():
@@ -26,3 +30,48 @@ def test_frame_pipeline_one_frame_lag_and_flush():
 
 def test_frame_pipeline_empty_flush():
     assert FramePipeline().flush() is None
+
+
+def test_yuv420_wire_format_shapes_and_flat_color():
+    """A constant-color frame survives the YUV420 round trip exactly up to
+    rounding: chroma is spatially constant so 2x2 subsampling is lossless
+    there, bounding the full pipeline to quantization error only."""
+    h, w = 8, 12
+    srgb = jnp.broadcast_to(jnp.asarray([200.0, 64.0, 30.0]), (h, w, 3))
+    flat = np.asarray(_rgb_to_yuv420(srgb))
+    assert flat.dtype == np.uint8 and flat.shape == (h * w * 3 // 2,)
+    rgb = ycbcr_to_rgb(yuv420_to_ycbcr(flat, h, w))
+    assert rgb.shape == (h, w, 3)
+    assert np.max(np.abs(rgb.astype(int) - np.asarray([200, 64, 30]))) <= 2
+    # every pixel identical (no spatial artifacts on a flat field)
+    assert (rgb == rgb[0, 0]).all()
+
+
+def test_yuv420_round_trip_close_on_smooth_image():
+    """On a smooth gradient the YUV420 path matches the direct RGB quantize
+    within a small bound — the loss is exactly JPEG's own 4:2:0 chroma
+    subsampling, which the web viewer's encoder applied anyway."""
+    h, w = 16, 24
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    srgb = np.stack([255 * xx / (w - 1), 255 * yy / (h - 1),
+                     np.full_like(xx, 90.0)], axis=-1)
+    direct = np.round(srgb).astype(np.uint8)
+    rgb = ycbcr_to_rgb(yuv420_to_ycbcr(
+        np.asarray(_rgb_to_yuv420(jnp.asarray(srgb))), h, w))
+    # nearest-upsampled 2x2 chroma can be off by one pixel's gradient step
+    # (~11 units/px here) scaled by the chroma coefficients, plus rounding
+    assert np.max(np.abs(rgb.astype(int) - direct.astype(int))) <= 12
+    assert np.mean(np.abs(rgb.astype(float) - direct.astype(float))) < 6.0
+    # luma is NOT subsampled: Y reconstructed exactly up to rounding
+    y_direct = (0.299 * srgb[..., 0] + 0.587 * srgb[..., 1]
+                + 0.114 * srgb[..., 2])
+    y_wire = yuv420_to_ycbcr(
+        np.asarray(_rgb_to_yuv420(jnp.asarray(srgb))), h, w)[..., 0]
+    assert np.max(np.abs(y_wire.astype(float) - y_direct)) <= 1.0
+
+
+def test_scene_renderer_rejects_bad_transfer_config():
+    with pytest.raises(ValueError):
+        SceneRenderer(64, 36, transfer="rgba")
+    with pytest.raises(ValueError):
+        SceneRenderer(63, 36, transfer="yuv420")   # odd width
