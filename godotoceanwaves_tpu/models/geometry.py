@@ -245,14 +245,21 @@ def _pick_nbands(height: int, target: int = 16) -> int:
     return 1
 
 
-def camera_rays(width: int, height: int, pitch_deg, yaw_deg, fov_deg):
+def camera_rays(width: int, height: int, pitch_deg, yaw_deg, fov_deg,
+                row_offset=0, row_count: int | None = None):
     """Pixel ray directions (H, W, 3) for the FlyCamera basis convention
-    (same math as shading.render_ocean)."""
+    (same math as shading.render_ocean).
+
+    `row_offset`/`row_count` select a horizontal band of the full frame
+    (rays identical to the corresponding rows of the full grid) — the
+    window the sharded renderer gives each device. `row_offset` may be
+    traced (e.g. `lax.axis_index`); `row_count` is static."""
+    rows = height if row_count is None else row_count
     pitch = jnp.deg2rad(jnp.asarray(pitch_deg, jnp.float32))
     tan_half = jnp.tan(jnp.deg2rad(jnp.asarray(fov_deg, jnp.float32)) / 2)
     xs = (jnp.arange(width, dtype=jnp.float32) / width * 2 - 1) * tan_half
-    ys = ((0.5 - jnp.arange(height, dtype=jnp.float32) / height) * 2 * tan_half
-          * (height / width))
+    ys = ((0.5 - (row_offset + jnp.arange(rows, dtype=jnp.float32)) / height)
+          * 2 * tan_half * (height / width))
     dirx, diry = jnp.meshgrid(xs, ys)
     cp, sp = jnp.cos(pitch), jnp.sin(pitch)
     d = jnp.stack([dirx, diry * cp + sp, -diry * sp + cp], axis=-1)
@@ -290,6 +297,7 @@ def render_ocean_geometry(
     lod_bands: int = 16,        # max horizontal LOD bands (must divide H)
     lod_levels: int = 4,        # max mip pyramid depth for the LOD taps
     lod_bias: float = 1.0,      # >1 = coarser mips (speed/detail tradeoff)
+    rows=None,                  # (row_offset, row_count) band of the frame
     **shade_kwargs,
 ) -> jax.Array:
     """Perspective render of the DISPLACED clipmap mesh -> (H, W, 3) RGB.
@@ -308,8 +316,16 @@ def render_ocean_geometry(
     5 s/frame at 640x360 (docs/PERF.md). The uniform cell (512 m / G) is
     the accel path's geometric resolution; "exact" marches the graded mesh
     interpolant itself (tests pin the two within tolerance).
+
+    `rows=(offset, count)` renders only that horizontal band of the full
+    frame (rays, LOD bands, and output rows all restricted to the window;
+    offset may be traced). This is the unit of the multi-chip renderer
+    (parallel.sharding.render_geometry_sharded): pixels are independent
+    given the replicated displaced grid, so bands shard with zero
+    cross-device traffic.
     """
     cam = jnp.asarray(camera_pos, jnp.float32)
+    row_offset, local_h = (0, height) if rows is None else rows
     if center_xz is None:
         # clipmap follow: mesh snapped to whole tiles under the camera
         # (main.gd:32-37; snap in-trace so a moving camera doesn't retrace)
@@ -317,7 +333,8 @@ def render_ocean_geometry(
     else:
         center_xz = jnp.asarray(center_xz, jnp.float32)
     coords = jnp.asarray(clipmap_axis_coords(quality))
-    d = camera_rays(width, height, pitch_deg, yaw_deg, fov_deg)
+    d = camera_rays(width, height, pitch_deg, yaw_deg, fov_deg,
+                    row_offset=row_offset, row_count=local_h)
     light = jnp.asarray(light_dir, jnp.float32)
     light = light / jnp.linalg.norm(light)
 
@@ -487,7 +504,7 @@ def render_ocean_geometry(
     uv = jnp.stack([ux, uz], axis=-1)
 
     dist = t_safe
-    nb = _pick_nbands(height, lod_bands) \
+    nb = _pick_nbands(local_h, lod_bands) \
         if (gradient_lod and sampler == "mxu") else 1
     if nb > 1:
         # screen-space LOD (shading.py "screen-space LOD" block): horizontal
@@ -505,7 +522,7 @@ def render_ocean_geometry(
             theta_pix, maps.normal.shape[-1], len(pyr), bias=lod_bias)
         grad = shading.cascade_gradient_lod(
             pyr, map_scales, uv.reshape(nb, -1, 2), lev)
-        grad = grad.reshape(height, width, 3)
+        grad = grad.reshape(local_h, width, 3)
     else:
         grad = shading.cascade_gradient(maps.normal, map_scales, uv,
                                         sampler=sampler)

@@ -235,6 +235,53 @@ def make_multichip_step(mesh: Mesh, config: SimConfig):
     return jax.jit(step, donate_argnums=0)
 
 
+def render_geometry_sharded(mesh: Mesh, maps, map_scales,
+                            axes: str | Sequence[str] | None = None, *,
+                            width: int = 960, height: int = 540, **kw):
+    """Multi-chip displaced-geometry render: pixel rows over the mesh.
+
+    The renderer (models/geometry.render_ocean_geometry) is per-pixel
+    independent given the displaced grid — the grid and maps are small and
+    replicated, so each device renders a horizontal band of the frame via
+    the renderer's `rows` window and the bands concatenate with ZERO
+    cross-device traffic (pure output sharding; the multi-chip analog of
+    GPU tile rasterization). Useful when one chip's render budget caps the
+    interactive frame rate: D chips = D-times the pixel throughput.
+
+    `axes` picks the mesh axes to spread rows over (default: all of them,
+    major-to-minor). `height` must be divisible by the product of their
+    sizes; per-band LOD then runs on each device's local band.
+
+    Returns the assembled (H, W, 3) image, row-sharded over `axes`.
+    """
+    from ..models import geometry
+
+    if axes is None:
+        names = tuple(mesh.axis_names)
+    elif isinstance(axes, str):
+        names = (axes,)
+    else:
+        names = tuple(axes)
+    n_dev = int(np.prod([mesh.shape[a] for a in names]))
+    if height % n_dev:
+        raise ValueError(f"height {height} not divisible by {n_dev} devices")
+    local_h = height // n_dev
+
+    def local(maps, scales):
+        idx = jnp.int32(0)
+        for a in names:   # major-to-minor, matching out_specs' concatenation
+            idx = idx * mesh.shape[a] + jax.lax.axis_index(a)
+        return geometry.render_ocean_geometry(
+            maps, scales, width=width, height=height,
+            rows=(idx * local_h, local_h), **kw)
+
+    sharded = jax.shard_map(
+        local, mesh=mesh, in_specs=(P(), P()),
+        out_specs=P(names if len(names) > 1 else names[0]),
+        check_vma=False)
+    return jax.jit(sharded)(maps, map_scales)
+
+
 def shard_state(mesh: Mesh, state: OceanState) -> OceanState:
     """Place a replicated/host state onto the mesh with the canonical specs."""
     return jax.tree.map(

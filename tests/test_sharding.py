@@ -165,3 +165,70 @@ def test_multichip_step_pallas_rows_kernel_seam(monkeypatch):
     gn = np.asarray(maps_pl.normal, np.float64)
     rn = np.asarray(maps_mm.normal, np.float64)
     assert np.sqrt(np.mean((gn - rn) ** 2)) < 1e-4
+
+
+def test_render_geometry_sharded_matches_single_device():
+    """Row-banded multi-chip render == the single-device frame.
+
+    The renderer's `rows` window is bit-exact against the corresponding
+    dense rows (asserted below); the assembled shard_map frame matches up
+    to jit fusion reassociation (~1e-5 on [0,1] colors — the whole render
+    is compiled as one program per shard, the dense reference runs op by
+    op)."""
+    from godotoceanwaves_tpu.parallel import render_geometry_sharded
+    from godotoceanwaves_tpu.models import geometry
+
+    cfg = SimConfig(map_size=N, fft_impl="matmul")
+    params = default_cascades()
+    state = init_state(cfg, params)
+    _, maps = step(cfg, state, params, 0.02)
+    scales = params.map_scales()
+    kw = dict(quality="low", width=64, camera_pos=(0.0, 6.0, 0.0),
+              pitch_deg=-10.0, yaw_deg=15.0, sampler="gather",
+              gradient_lod=False, march_steps=12, bisect_steps=3)
+
+    dense = np.asarray(geometry.render_ocean_geometry(
+        maps, scales, height=64, **kw))
+    # the rows window alone (one device's unit of work) is bit-exact
+    band = np.asarray(geometry.render_ocean_geometry(
+        maps, scales, height=64, rows=(8, 8), **kw))
+    np.testing.assert_array_equal(band, dense[8:16])
+
+    mesh = build_mesh(jax.devices(), rows=4)  # (2, 4): rows spread over both
+    got = np.asarray(render_geometry_sharded(mesh, maps, scales,
+                                             height=64, **kw))
+    assert got.shape == dense.shape == (64, 64, 3)
+    np.testing.assert_allclose(got, dense, atol=1e-4)
+
+
+def test_render_geometry_sharded_lod_bands_close():
+    """With gradient LOD on, each device picks mips from its LOCAL band's
+    hit distances — a (documented) banding difference vs the dense frame,
+    bounded because the LOD criterion is conservative sub-pixel."""
+    from godotoceanwaves_tpu.parallel import render_geometry_sharded
+    from godotoceanwaves_tpu.models import geometry
+
+    cfg = SimConfig(map_size=N, fft_impl="matmul")
+    params = default_cascades()
+    state = init_state(cfg, params)
+    _, maps = step(cfg, state, params, 0.02)
+    scales = params.map_scales()
+    kw = dict(quality="low", width=64, camera_pos=(0.0, 6.0, 0.0),
+              pitch_deg=-10.0, sampler="mxu", gradient_lod=True,
+              march_steps=12, bisect_steps=3)
+
+    dense = np.asarray(geometry.render_ocean_geometry(
+        maps, scales, height=64, **kw))
+    mesh = build_mesh(jax.devices(), rows=2)
+    got = np.asarray(render_geometry_sharded(mesh, maps, scales,
+                                             height=64, **kw))
+    rms = np.sqrt(np.mean((got - dense) ** 2))
+    assert np.isfinite(got).all() and rms < 0.05
+
+
+def test_render_geometry_sharded_rejects_indivisible_height():
+    from godotoceanwaves_tpu.parallel import render_geometry_sharded
+
+    mesh = build_mesh(jax.devices(), rows=4)
+    with pytest.raises(ValueError):
+        render_geometry_sharded(mesh, None, None, height=63)
