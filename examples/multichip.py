@@ -52,3 +52,18 @@ print("displacement:", maps.displacement.shape,   # (P, C, 3, N, N)
       "sharding:", maps.displacement.sharding.spec)
 heights = np.asarray(maps.displacement[:, :, 1].astype(jax.numpy.float32))
 print("per-patch height rms:", [round(float(np.std(h)), 3) for h in heights])
+
+# Multi-chip rendering: the frame's pixel rows spread over ALL 8 devices
+# (each renders a horizontal band of patch 0's ocean; zero cross-device
+# traffic — see parallel.sharding.render_geometry_sharded).
+from godotoceanwaves_tpu.models.ocean import OceanMaps  # noqa: E402
+from godotoceanwaves_tpu.parallel import render_geometry_sharded  # noqa: E402
+
+patch0 = OceanMaps(displacement=maps.displacement[0],
+                   normal=maps.normal[0])
+img = render_geometry_sharded(
+    mesh, patch0, jax.tree.map(lambda x: x[0], params).map_scales(),
+    width=320, height=176, camera_pos=(0.0, 6.0, 0.0), pitch_deg=-8.0,
+    sampler="gather", gradient_lod=False, march_steps=16, bisect_steps=3)
+print("sharded render:", img.shape, "row-sharded over",
+      img.sharding.spec, "finite:", bool(np.isfinite(np.asarray(img)).all()))

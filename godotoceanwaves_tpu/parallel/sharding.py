@@ -235,9 +235,39 @@ def make_multichip_step(mesh: Mesh, config: SimConfig):
     return jax.jit(step, donate_argnums=0)
 
 
+@functools.lru_cache(maxsize=8)
+def _sharded_render_fn(mesh: Mesh, names: tuple, width: int, height: int,
+                       kw_items: tuple):
+    """Cached jitted shard_map render for one (mesh, axes, frame, options)
+    configuration — repeated calls (an interactive viewer flying the
+    camera) reuse the compiled program; pose args are traced."""
+    from ..models import geometry
+
+    kw = dict(kw_items)
+    n_dev = int(np.prod([mesh.shape[a] for a in names]))
+    local_h = height // n_dev
+
+    def local(maps, scales, cam, pitch, yaw):
+        idx = jnp.int32(0)
+        for a in names:   # major-to-minor, matching out_specs' concatenation
+            idx = idx * mesh.shape[a] + jax.lax.axis_index(a)
+        return geometry.render_ocean_geometry(
+            maps, scales, width=width, height=height,
+            camera_pos=cam, pitch_deg=pitch, yaw_deg=yaw,
+            rows=(idx * local_h, local_h), **kw)
+
+    sharded = jax.shard_map(
+        local, mesh=mesh, in_specs=(P(), P(), P(), P(), P()),
+        out_specs=P(names if len(names) > 1 else names[0]),
+        check_vma=False)
+    return jax.jit(sharded)
+
+
 def render_geometry_sharded(mesh: Mesh, maps, map_scales,
                             axes: str | Sequence[str] | None = None, *,
-                            width: int = 960, height: int = 540, **kw):
+                            width: int = 960, height: int = 540,
+                            camera_pos=(0.0, 12.0, 0.0), pitch_deg=-12.0,
+                            yaw_deg=0.0, **kw):
     """Multi-chip displaced-geometry render: pixel rows over the mesh.
 
     The renderer (models/geometry.render_ocean_geometry) is per-pixel
@@ -250,12 +280,13 @@ def render_geometry_sharded(mesh: Mesh, maps, map_scales,
 
     `axes` picks the mesh axes to spread rows over (default: all of them,
     major-to-minor). `height` must be divisible by the product of their
-    sizes; per-band LOD then runs on each device's local band.
+    sizes; per-band LOD then runs on each device's local band. Camera pose
+    is traced (fly without retracing); remaining `kw` render options are
+    static and must be hashable — the compiled program is cached per
+    (mesh, axes, frame size, options).
 
     Returns the assembled (H, W, 3) image, row-sharded over `axes`.
     """
-    from ..models import geometry
-
     if axes is None:
         names = tuple(mesh.axis_names)
     elif isinstance(axes, str):
@@ -265,21 +296,10 @@ def render_geometry_sharded(mesh: Mesh, maps, map_scales,
     n_dev = int(np.prod([mesh.shape[a] for a in names]))
     if height % n_dev:
         raise ValueError(f"height {height} not divisible by {n_dev} devices")
-    local_h = height // n_dev
-
-    def local(maps, scales):
-        idx = jnp.int32(0)
-        for a in names:   # major-to-minor, matching out_specs' concatenation
-            idx = idx * mesh.shape[a] + jax.lax.axis_index(a)
-        return geometry.render_ocean_geometry(
-            maps, scales, width=width, height=height,
-            rows=(idx * local_h, local_h), **kw)
-
-    sharded = jax.shard_map(
-        local, mesh=mesh, in_specs=(P(), P()),
-        out_specs=P(names if len(names) > 1 else names[0]),
-        check_vma=False)
-    return jax.jit(sharded)(maps, map_scales)
+    fn = _sharded_render_fn(mesh, names, width, height,
+                            tuple(sorted(kw.items())))
+    return fn(maps, map_scales, jnp.asarray(camera_pos, jnp.float32),
+              jnp.float32(pitch_deg), jnp.float32(yaw_deg))
 
 
 def shard_state(mesh: Mesh, state: OceanState) -> OceanState:

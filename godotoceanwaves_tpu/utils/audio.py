@@ -129,12 +129,23 @@ def render_ambience(params, duration_s: float = 8.0,
     return mix / peak if peak > 1.0 else mix
 
 
-def write_wav(path: str, data: np.ndarray, sample_rate: int = 22050) -> None:
-    """16-bit mono PCM writer (stdlib `wave`; no audio deps)."""
+def wav_bytes(data: np.ndarray, sample_rate: int = 22050) -> bytes:
+    """16-bit mono PCM WAV as bytes (stdlib `wave`; no audio deps) — the
+    web viewer serves the ambience loops from memory."""
+    import io
+
     clipped = np.clip(np.asarray(data, dtype=np.float64), -1.0, 1.0)
     pcm = (clipped * 32767.0).astype("<i2")
-    with wave.open(path, "wb") as w:
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
         w.setnchannels(1)
         w.setsampwidth(2)
         w.setframerate(sample_rate)
         w.writeframes(pcm.tobytes())
+    return buf.getvalue()
+
+
+def write_wav(path: str, data: np.ndarray, sample_rate: int = 22050) -> None:
+    """16-bit mono PCM writer (stdlib `wave`; no audio deps)."""
+    with open(path, "wb") as f:
+        f.write(wav_bytes(data, sample_rate))

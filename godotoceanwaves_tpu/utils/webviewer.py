@@ -105,8 +105,11 @@ _PAGE = """<!doctype html>
  <div class="row"><label>updates/s</label>
    <input id="ups" type="range" min="0" max="60" step="1">
    <span class="val" id="upsv"></span></div>
+ <div class="row"><label>ambience</label><button id="audio">play</button></div>
  <div id="stats"></div>
 </div>
+<audio id="aud_o" src="/ambience/ocean.wav" loop preload="none"></audio>
+<audio id="aud_w" src="/ambience/wind.wav" loop preload="none"></audio>
 <script>
 const RANGES = %(ranges)s;
 let state = null, cascade = 0;
@@ -159,6 +162,7 @@ async function refreshState() {
     `frame ${state.frame}  cam [${state.camera.map(v => v.toFixed(1))}]  ` +
     `speed ${state.camera_speed.toFixed(1)}`;
   rebuildParams();
+  applyAudioGains();
 }
 el('cascade').onchange = e => { cascade = Number(e.target.value); rebuildParams(); };
 function hex(rgb) {  // linear [0,1] -> sRGB #rrggbb
@@ -178,6 +182,25 @@ el('subcasc').onclick = () => { cascade = 0;
   post({name: 'num_cascades', value: state.cascades.length - 1}); };
 el('ups').onchange = e => post({name: 'updates_per_second',
                                 value: Number(e.target.value)});
+
+// --- ambience (main.gd:39-44 over HTTP) ---
+// seamless procedural loops served by the session; volumes follow the
+// reference's wind-speed dB law, each stem shifted so its peak sits at
+// 0 dBFS (browser volume caps at 1.0)
+let audioOn = false;
+function applyAudioGains() {
+  if (!state || !state.ambience_db) return;
+  el('aud_o').volume = Math.min(1, Math.pow(10, (state.ambience_db[0] - 15) / 20));
+  el('aud_w').volume = Math.min(1, Math.pow(10, (state.ambience_db[1] - 5) / 20));
+}
+el('audio').onclick = () => {
+  audioOn = !audioOn;
+  el('audio').textContent = audioOn ? 'stop' : 'play';
+  for (const id of ['aud_o', 'aud_w']) {
+    if (audioOn) el(id).play(); else el(id).pause();
+  }
+  applyAudioGains();
+};
 
 // --- fly camera (camera.gd:15-47 over HTTP) ---
 const frame = el('frame');
@@ -266,6 +289,9 @@ class WebViewer:
         self._ocean_lock = threading.Lock()
         self._cam_lock = threading.Lock()
         self._frame_lock = threading.Lock()
+        # ambience loops (C20): synthesized once on first request
+        self._audio_lock = threading.Lock()
+        self._ambience: dict[str, bytes] = {}
         self._png, self._mime = _frame_bytes(
             np.zeros((height, width, 3), np.uint8))
         self._frame_no = 0
@@ -407,9 +433,14 @@ class WebViewer:
             cam = [float(v) for v in self.camera.position]
             speed = float(self.camera.speed)
             spray_on = self.spray_enabled
+        # ambience mix law from the live stack (main.gd:39-44): total wind
+        # speed from the cached snapshot — no device interaction
+        from .audio import ambience_gains_db
+        total_wind = sum(c["wind_speed"] for c in snap["cascades"])
         return {**snap, "fps": s["fps"], "ms_frame": s["ms_mean"],
                 "frame": frame_no, "camera": cam, "camera_speed": speed,
-                "spray": spray_on, "mesh_quality": self.mesh_quality}
+                "spray": spray_on, "mesh_quality": self.mesh_quality,
+                "ambience_db": list(ambience_gains_db(total_wind))}
 
     def _apply(self, req: dict) -> None:
         name = req["name"]
@@ -452,6 +483,17 @@ class WebViewer:
         with self._frame_lock:
             self._state_cache = snap
 
+    def _ambience_wav(self, which: str) -> bytes:
+        """Seamless procedural loop bytes (utils/audio synthesis), cached —
+        the browser's <audio loop> replaces the reference's wav assets."""
+        with self._audio_lock:
+            if which not in self._ambience:
+                from . import audio
+                synth = {"ocean": audio.synthesize_ocean_loop,
+                         "wind": audio.synthesize_wind_loop}[which]
+                self._ambience[which] = audio.wav_bytes(synth())
+            return self._ambience[which]
+
     def _handler(self):
         viewer = self
 
@@ -482,6 +524,9 @@ class WebViewer:
                 elif path == "/state":
                     self._send(200, "application/json",
                                json.dumps(viewer._state()).encode())
+                elif path in ("/ambience/ocean.wav", "/ambience/wind.wav"):
+                    which = path.rsplit("/", 1)[1].split(".")[0]
+                    self._send(200, "audio/wav", viewer._ambience_wav(which))
                 else:
                     self._send(404, "text/plain", b"not found")
 

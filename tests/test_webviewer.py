@@ -160,3 +160,50 @@ def test_webviewer_frames_track_camera_motion():
         assert frame_a != frame_b
     finally:
         viewer.stop()
+
+
+def test_webviewer_serves_wind_mixed_ambience():
+    """The browser surface carries the reference's ambience (main.gd:39-44):
+    seamless loop endpoints + the wind-speed dB mix law in /state."""
+    import io
+    import wave
+
+    from godotoceanwaves_tpu.utils.audio import ambience_gains_db
+
+    ocean = Ocean(map_size=64, updates_per_second=0)
+    viewer = WebViewer(ocean, fps=30.0, width=64, height=36)
+    port = viewer.start(port=0)
+    try:
+        for which in ("ocean", "wind"):
+            status, ctype, body = _get(port, f"/ambience/{which}.wav")
+            assert status == 200 and ctype == "audio/wav"
+            with wave.open(io.BytesIO(body)) as w:
+                assert w.getnchannels() == 1 and w.getsampwidth() == 2
+                assert w.getnframes() == w.getframerate() * 8  # 8 s loop
+        # second fetch serves the cached bytes (identical synthesis)
+        assert _get(port, "/ambience/ocean.wav")[2] == \
+            _get(port, "/ambience/ocean.wav")[2]
+
+        # the page wires the loops + toggle
+        page = _get(port, "/")[2]
+        assert b"/ambience/ocean.wav" in page and b"aud_w" in page
+
+        # /state carries the dB law for the LIVE stack and tracks edits
+        state = json.loads(_get(port, "/state")[2])
+        total = sum(c["wind_speed"] for c in state["cascades"])
+        np.testing.assert_allclose(state["ambience_db"],
+                                   ambience_gains_db(total), atol=1e-6)
+        assert _post(port, {"cascade": 0, "name": "wind_speed",
+                            "value": 0.0}) == 200
+        assert _post(port, {"cascade": 1, "name": "wind_speed",
+                            "value": 0.0}) == 200
+        assert _post(port, {"cascade": 2, "name": "wind_speed",
+                            "value": 3.0}) == 200
+        state = json.loads(_get(port, "/state")[2])
+        # setter clamps keep zeroed winds at a tiny epsilon -> ~3.0 total
+        np.testing.assert_allclose(state["ambience_db"],
+                                   ambience_gains_db(3.0), atol=0.01)
+        # low wind: quiet ocean rumble, loud wind whistle (main.gd:42-43)
+        assert state["ambience_db"][0] < state["ambience_db"][1]
+    finally:
+        viewer.stop()
