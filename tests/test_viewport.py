@@ -75,3 +75,29 @@ def test_scene_renderer_rejects_bad_transfer_config():
         SceneRenderer(64, 36, transfer="rgba")
     with pytest.raises(ValueError):
         SceneRenderer(63, 36, transfer="yuv420")   # odd width
+
+
+def test_jpeg_encode_of_yuv420_preserves_hue():
+    """The YCbCr JPEG encode path must decode back to the original color —
+    a Cb/Cr swap or wrong matrix would pass shape checks but turn the
+    ocean orange; pin hue through the full encode/decode cycle."""
+    import io
+
+    from PIL import Image
+
+    from godotoceanwaves_tpu.utils.webviewer import _frame_bytes
+
+    h, w = 16, 16
+    # a saturated blue frame in linear space (ocean-ish)
+    lin = np.zeros((h, w, 3), np.float32)
+    lin[..., 2] = 0.7
+    lin[..., 1] = 0.2
+    flat = np.asarray(_rgb_to_yuv420(
+        jnp.asarray(np.clip(lin, 0, 1) ** (1 / 2.2) * 255)))
+    ycbcr = yuv420_to_ycbcr(flat, h, w)
+    body, mime = _frame_bytes(ycbcr, mode="YCbCr")
+    img = np.asarray(Image.open(io.BytesIO(body)).convert("RGB")).astype(int)
+    direct = (np.clip(lin, 0, 1) ** (1 / 2.2) * 255).astype(int)
+    # JPEG q85 of a flat field: small error, and blue stays dominant
+    assert np.max(np.abs(img - direct)) <= 10
+    assert (img[..., 2] > img[..., 1]).all() and (img[..., 1] > img[..., 0]).all()
