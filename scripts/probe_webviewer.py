@@ -38,9 +38,13 @@ def main():
     time.sleep(60)
     f1, t1 = state()["frame"], time.time()
     s = state()
+    frame = urllib.request.urlopen(
+        f"http://127.0.0.1:{port}/frame.png", timeout=10).read()
     print(f"served {(f1 - f0) / (t1 - t0):.2f} frames/s over {t1 - t0:.0f}s; "
           f"sim-thread {s.get('fps', 0.0):.2f} fps / "
-          f"{s.get('ms_frame', 0.0):.1f} ms/frame", flush=True)
+          f"{s.get('ms_frame', 0.0):.1f} ms/frame; "
+          f"wire format {v._viewport.transfer}, encoded frame "
+          f"{len(frame)} B", flush=True)
     v.stop()
 
 
