@@ -8,6 +8,7 @@ interactive shell (C1) re-expressed as a headless CLI.
 Examples:
   python demo.py --frames 8 --out /tmp/ocean            # PNG frame sequence
   python demo.py --gif /tmp/ocean.gif --frames 48       # animated GIF
+  python demo.py --cpu --map-size 128 --gif /tmp/o.gif  # no TPU needed
   python demo.py --map-size 512 --wind-speed 25 --panel
   python demo.py --live                                 # interactive viewer:
       live ANSI ocean view; keys edit every cascade parameter at runtime
@@ -75,7 +76,15 @@ def main() -> None:
     ap.add_argument("--ambience", type=str, default=None,
                     help="write the wind-mixed procedural ambience loop "
                          "(WAV) for the current cascade stack")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (renders anywhere, incl. "
+                         "while the TPU relay is down; env vars alone "
+                         "cannot switch the platform here)")
     args = ap.parse_args()
+
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
 
     if args.ambience:
         # host-only: the mix law needs only the cascade wind speeds, so read

@@ -328,3 +328,28 @@ def test_package_import_never_initializes_a_backend():
                          capture_output=True, text=True, timeout=180)
     assert out.returncode == 0, out.stderr
     assert "clean" in out.stdout
+
+
+def test_demo_frame_loop_cpu_end_to_end(tmp_path):
+    """`demo.py --cpu` drives the whole offline pipeline — sim, spray,
+    displaced-geometry render, pipelined fetch, GIF encode — anywhere
+    (including while the TPU relay is down)."""
+    import pathlib
+    import subprocess
+    import sys
+
+    from PIL import Image
+
+    root = pathlib.Path(__file__).resolve().parents[1]
+    gif = tmp_path / "ocean.gif"
+    proc = subprocess.run(
+        [sys.executable, str(root / "demo.py"), "--cpu", "--map-size", "64",
+         "--frames", "3", "--warmup", "2", "--width", "96", "--height", "64",
+         "--spray", "--spray-particles", "128", "--environment",
+         "--camera", "0,5,0", "--pitch", "-8", "--gif", str(gif)],
+        capture_output=True, text=True, timeout=420, cwd=str(root),
+        env={"PATH": "/usr/bin:/bin", "HOME": "/tmp"},
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    with Image.open(gif) as im:
+        assert im.n_frames == 3 and im.size == (96, 64)
