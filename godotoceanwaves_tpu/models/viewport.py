@@ -35,19 +35,24 @@ from . import geometry, shading, spray
 
 def _rgb_to_yuv420(srgb):
     """(H, W, 3) float sRGB-encoded [0,255] -> flat uint8 Y + Cb + Cr planes
-    (chroma 2x2-mean subsampled). H and W must be even."""
+    (chroma 2x2-mean subsampled). H and W must be even.
+
+    RGB->CbCr is affine, so the 2x2 mean commutes with it: subsampling the
+    RGB planes FIRST and applying the chroma matrix on the quarter-size
+    planes yields the same wire bytes at ~1/4 the chroma arithmetic inside
+    the per-frame render jit."""
     r, g, b = srgb[..., 0], srgb[..., 1], srgb[..., 2]
     y = 0.299 * r + 0.587 * g + 0.114 * b
-    cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
-    cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
     h, w = y.shape
 
     def sub(c):
         return c.reshape(h // 2, 2, w // 2, 2).mean(axis=(1, 3))
 
+    rs, gs, bs = sub(r), sub(g), sub(b)
+    cb = 128.0 - 0.168736 * rs - 0.331264 * gs + 0.5 * bs
+    cr = 128.0 + 0.5 * rs - 0.418688 * gs - 0.081312 * bs
     q = lambda c: jnp.clip(jnp.round(c), 0.0, 255.0).astype(jnp.uint8)
-    return jnp.concatenate([q(y).ravel(), q(sub(cb)).ravel(),
-                            q(sub(cr)).ravel()])
+    return jnp.concatenate([q(y).ravel(), q(cb).ravel(), q(cr).ravel()])
 
 
 def yuv420_to_ycbcr(flat: np.ndarray, height: int, width: int) -> np.ndarray:

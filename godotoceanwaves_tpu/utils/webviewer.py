@@ -185,13 +185,15 @@ el('ups').onchange = e => post({name: 'updates_per_second',
 
 // --- ambience (main.gd:39-44 over HTTP) ---
 // seamless procedural loops served by the session; volumes follow the
-// reference's wind-speed dB law, each stem shifted so its peak sits at
-// 0 dBFS (browser volume caps at 1.0)
+// reference's wind-speed dB law, BOTH stems shifted by the same -15 dB
+// (the law's maximum) so the loudest stem sits at volume 1.0 and the
+// ocean:wind BALANCE stays exactly the reference's (a per-stem shift
+// would skew it; audio.render_ambience normalizes the same way)
 let audioOn = false;
 function applyAudioGains() {
   if (!state || !state.ambience_db) return;
   el('aud_o').volume = Math.min(1, Math.pow(10, (state.ambience_db[0] - 15) / 20));
-  el('aud_w').volume = Math.min(1, Math.pow(10, (state.ambience_db[1] - 5) / 20));
+  el('aud_w').volume = Math.min(1, Math.pow(10, (state.ambience_db[1] - 15) / 20));
 }
 el('audio').onclick = () => {
   audioOn = !audioOn;
@@ -229,10 +231,14 @@ setInterval(() => {
 }, 90);
 
 async function frameLoop() {
+  let prevUrl = null;
   for (;;) {
     try {
       const blob = await (await fetch('/frame.png?' + Date.now())).blob();
-      el('frame').src = URL.createObjectURL(blob);
+      const url = URL.createObjectURL(blob);
+      el('frame').src = url;
+      if (prevUrl) URL.revokeObjectURL(prevUrl);  // don't leak blobs
+      prevUrl = url;
     } catch (e) {}
     await new Promise(r => setTimeout(r, 1000 / %(fps)d));
   }

@@ -3,9 +3,13 @@
 # were blocked by the outage (see CLAUDE.md "relay-outage playbook"):
 #   1. bench.py              -> full 3-JSON-line record incl. the render leg
 #   2. probe_webviewer.py    -> steady-state HTTP serving rate for PERF.md
-#   3. showcase GIF refresh  -> docs/demo_ocean_spray.gif at the LOD defaults
+#   3. showcase GIF render   -> /tmp/tunnel_return/showcase.gif (inspect,
+#      then copy over docs/demo_ocean_spray.gif and commit)
 #
-# Run detached:  nohup bash scripts/on_tunnel_return.sh > /tmp/tunnel_return/watch.log 2>&1 &
+# Run detached (mkdir FIRST — the redirect below runs before this script's
+# own mkdir and would fail on a fresh /tmp):
+#   mkdir -p /tmp/tunnel_return && \
+#     nohup bash scripts/on_tunnel_return.sh > /tmp/tunnel_return/watch.log 2>&1 &
 set -u
 LOG=/tmp/tunnel_return
 mkdir -p "$LOG"
