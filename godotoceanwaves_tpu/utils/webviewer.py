@@ -88,7 +88,8 @@ _PAGE = """<!doctype html>
 </style></head><body>
 <div id="view"><img id="frame" src="/frame.png" draggable="false">
  <div id="help">drag to look &middot; WASD move &middot; Q/E down/up &middot;
-  shift sprint &middot; wheel speed</div></div>
+  shift sprint &middot; wheel speed &middot; ctrl-H panel &middot;
+  ctrl-F fullscreen</div></div>
 <div id="panel">
  <h3>ocean panel</h3>
  <div class="row"><label>cascade</label><select id="cascade"></select></div>
@@ -217,6 +218,22 @@ setInterval(() => {
 }, 60);
 frame.onwheel = e => { e.preventDefault();
   post({name: 'camera_speed', value: e.deltaY < 0 ? 1 : -1}, false); };
+// UI/fullscreen toggles (main.gd:46-53; input map project.godot:45-54:
+// Ctrl-H = panel, Ctrl-F = fullscreen, Esc = windowed — the browser
+// handles Esc natively)
+addEventListener('keydown', e => {
+  if (!(e.ctrlKey || e.metaKey)) return;
+  const k = e.key.toLowerCase();
+  if (k === 'h') {
+    e.preventDefault();
+    const p = el('panel');
+    p.style.display = p.style.display === 'none' ? '' : 'none';
+  } else if (k === 'f') {
+    e.preventDefault();
+    if (document.fullscreenElement) document.exitFullscreen();
+    else el('view').requestFullscreen();
+  }
+});
 const keys = new Set();
 addEventListener('keydown', e => {
   if (e.target.tagName === 'INPUT' || e.target.tagName === 'SELECT') return;

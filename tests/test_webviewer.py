@@ -207,3 +207,27 @@ def test_webviewer_serves_wind_mixed_ambience():
         assert state["ambience_db"][0] < state["ambience_db"][1]
     finally:
         viewer.stop()
+
+
+def test_webviewer_page_script_sane():
+    """The panel page is a %%-formatted template edited by hand; a stray
+    format token or an unbalanced brace silently breaks ALL panel JS in
+    the browser (nothing in the Python suite would notice). Pin the
+    delimiter balance and the presence of each interactive subsystem."""
+    ocean = Ocean(map_size=64, updates_per_second=0)
+    viewer = WebViewer(ocean, fps=30.0, width=64, height=36)
+    port = viewer.start(port=0)
+    try:
+        page = _get(port, "/")[2].decode()
+        # template fully resolved: no leftover %(name)s tokens
+        assert "%(" not in page
+        script = page.split("<script>")[1].split("</script>")[0]
+        for op, cl in ("{}", "()", "[]"):
+            assert script.count(op) == script.count(cl), f"unbalanced {op}{cl}"
+        # each interactive subsystem's handler is wired
+        for marker in ("applyAudioGains", "revokeObjectURL",
+                       "requestFullscreen", "camera_look", "camera_move",
+                       "frameLoop", "rebuildParams"):
+            assert marker in script, marker
+    finally:
+        viewer.stop()
