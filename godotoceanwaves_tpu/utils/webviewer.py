@@ -287,13 +287,17 @@ class WebViewer:
     def __init__(self, ocean, fps: float = 12.0, width: int = 640,
                  height: int = 360, environment: bool = True,
                  mesh_quality: str = "low", flat: bool = False,
-                 spray: bool = False, spray_particles: int = 32768):
+                 spray: bool = False, spray_particles: int = 32768,
+                 transfer: str = "auto"):
         self.ocean = ocean
         self.environment = environment
         self.fps = fps
         self.width = width
         self.height = height
         self.flat = flat
+        if transfer not in ("auto", "rgb", "yuv420"):
+            raise ValueError(f"unknown transfer {transfer!r}")
+        self.transfer = transfer
         self.stats = FrameStats()
         # the reference's fly camera (camera.gd); pose is traced render args
         self.camera = FlyCamera()
@@ -336,9 +340,15 @@ class WebViewer:
         # v5e at 640x360 with the MXU sampler (docs/PERF.md). The viewer
         # loop is transfer-bound through the relay, so frames cross as
         # device-subsampled YUV420 (1.5 B/px, half of RGB) — visually free
-        # because the JPEG these bytes become is 4:2:0 anyway.
-        transfer = ("yuv420" if self.width % 2 == 0 and self.height % 2 == 0
-                    else "rgb")
+        # because the JPEG these bytes become is 4:2:0 anyway. "auto"
+        # falls back to rgb on odd frame dims; forcing "rgb" exists for
+        # wire-format A/B measurement (scripts/probe_webviewer.py).
+        if self.transfer == "auto":
+            transfer = ("yuv420"
+                        if self.width % 2 == 0 and self.height % 2 == 0
+                        else "rgb")
+        else:
+            transfer = self.transfer
         self._viewport = SceneRenderer(
             self.width, self.height, flat=self.flat,
             mesh_quality=self.mesh_quality, environment=self.environment,

@@ -3,7 +3,9 @@
 Starts a WebViewer (1024^2 bf16 maps, spray on) on an ephemeral port, waits
 for the sim thread to reach steady state, and samples the served-frame
 counter over a minute — the end-to-end figure the PERF.md "viewer loop"
-ledger records. Run detached on the TPU:
+ledger records. An optional argv[1] of rgb|yuv420 pins the wire format
+(A/B the transfer: run once per format in the same session). Run detached
+on the TPU:
 
     nohup python scripts/probe_webviewer.py > /tmp/probe_web.log 2>&1 &
 """
@@ -22,8 +24,9 @@ from godotoceanwaves_tpu.utils.webviewer import WebViewer
 
 
 def main():
+    transfer = sys.argv[1] if len(sys.argv) > 1 else "auto"
     o = Ocean(map_size=1024, map_dtype="bfloat16", updates_per_second=0)
-    v = WebViewer(o, fps=15.0, spray=True)
+    v = WebViewer(o, fps=15.0, spray=True, transfer=transfer)
     port = v.start(port=0)
     print("serving on", port, flush=True)
 
