@@ -43,3 +43,12 @@ timeout 3600 python demo.py --spray --wind-speed 16 --camera 0,4.5,0 \
 echo "gif exit=$?"
 
 date +"%F %T all stages done" | tee "$LOG/done.txt"
+
+# Wire-format A/B (appended stage; runs after done.txt): the same probe
+# with the frame transfer pinned to RGB, so the YUV420 win is measured
+# against RGB in the SAME session (relay variance defeats cross-version
+# comparisons).
+echo "=== probe_webviewer rgb (wire A/B) ===" && date
+timeout 2400 python scripts/probe_webviewer.py rgb > "$LOG/probe_web_rgb.log" 2>&1
+echo "probe_web_rgb exit=$?"
+date +"%F %T a/b stage done" >> "$LOG/done.txt"
