@@ -1,0 +1,91 @@
+"""Sweep the surviving render knobs (lod_bias, march_res, march/bisect
+steps) on the real TPU, reporting ms/frame AND image deviation vs the
+defaults so the speed/quality trade is measured, not guessed.
+
+    nohup python scripts/profile_render_knobs.py > /tmp/render_knobs.log 2>&1 &
+
+Run AFTER any other TPU job finishes (single tunneled chip; the backend
+pages HBM to host under memory pressure, so concurrent jobs poison timings).
+"""
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from godotoceanwaves_tpu.utils import cache
+cache.enable_persistent_cache()
+
+from godotoceanwaves_tpu.models import geometry
+from godotoceanwaves_tpu.models.ocean import Ocean
+from godotoceanwaves_tpu.models.cascade import default_cascades
+
+W, H = 640, 360
+CAM, PITCH = (0.0, 12.0, 0.0), -12.0   # web-viewer default pose
+
+
+def chained(fn, carry, iters=12, repeats=3, warmup=2):
+    chk = jax.jit(lambda t: jnp.sum(jnp.abs(t.astype(jnp.float32))))
+    for _ in range(warmup):
+        carry = fn(carry)
+    float(chk(carry))
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            carry = fn(carry)
+        float(chk(carry))
+        best = min(best, (time.perf_counter() - t0) / iters * 1e3)
+    return best
+
+
+def main():
+    print("backend:", jax.default_backend(), flush=True)
+    ocean = Ocean(default_cascades(), map_size=1024, map_dtype="bfloat16")
+    maps = ocean.update(1 / 60)
+    scales = ocean.params.map_scales()
+    cam0 = jnp.array(CAM, jnp.float32)
+
+    # (name, kwargs) — baseline first; deltas are vs its image.
+    configs = [
+        ("baseline 40/8 mr256 lb1.0", {}),
+        ("march 24/6", dict(march_steps=24, bisect_steps=6)),
+        ("march 16/5", dict(march_steps=16, bisect_steps=5)),
+        ("lod_bias 1.5", dict(lod_bias=1.5)),
+        ("lod_bias 2.0", dict(lod_bias=2.0)),
+        ("march_res 128", dict(march_res=128)),
+        ("combo 24/6 lb1.5 mr128",
+         dict(march_steps=24, bisect_steps=6, lod_bias=1.5, march_res=128)),
+    ]
+
+    base_img = None
+    for name, kw in configs:
+        @jax.jit
+        def frame(eps, kw=kw):
+            img = geometry.render_ocean_geometry(
+                maps, scales, quality="high", width=W, height=H,
+                camera_pos=cam0 + eps * 1e-6, pitch_deg=PITCH, **kw)
+            return jnp.clip(img, 0, 1) ** (1 / 2.2) * 255
+
+        ms = chained(frame, jnp.float32(0.0))
+        img = np.asarray(frame(jnp.float32(0.0)))
+        if base_img is None:
+            base_img = img
+            rms = 0.0
+            mx = 0.0
+        else:
+            d = img.astype(np.float32) - base_img.astype(np.float32)
+            rms = float(np.sqrt(np.mean(d * d)))
+            mx = float(np.abs(d).max())
+        print(f"{name:28s} {ms:7.2f} ms  rms={rms:6.2f}/255 max={mx:5.1f}",
+              flush=True)
+
+
+if __name__ == "__main__":
+    main()
