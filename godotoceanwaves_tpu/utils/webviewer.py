@@ -139,6 +139,7 @@ function rebuildParams() {
 }
 async function refreshState() {
   state = await (await fetch('/state')).json();
+  if (state.warming) { el('stats').textContent = 'warming up (first compile)...'; return; }
   const sel = el('cascade');
   if (sel.options.length !== state.cascades.length) {
     sel.innerHTML = state.cascades.map((_, i) => `<option>${i}</option>`).join('');
@@ -459,8 +460,27 @@ class WebViewer:
             snap = self._state_cache
             frame_no = self._frame_no
         if snap is None:
-            with self._ocean_lock:
-                snap = self._snapshot_ocean()
+            # Cold start: the sim thread may hold _ocean_lock for a 30-300 s
+            # first compile — never block the panel (or a probe's short HTTP
+            # timeout) behind it. Bounded wait, then a host-only warming stub.
+            if self._ocean_lock.acquire(timeout=2.0):
+                try:
+                    snap = self._snapshot_ocean()
+                finally:
+                    self._ocean_lock.release()
+                with self._frame_lock:
+                    if self._state_cache is None:
+                        self._state_cache = snap
+            else:
+                snap = {
+                    "warming": True,
+                    "cascades": [],
+                    "map_size": self.ocean.config.map_size,
+                    "resolutions": list(RESOLUTIONS),
+                    "updates_per_second": self.ocean.updates_per_second,
+                    "water_color": [float(v) for v in self.ocean.water_color],
+                    "foam_color": [float(v) for v in self.ocean.foam_color],
+                }
         s = self.stats.summary()
         with self._cam_lock:
             cam = [float(v) for v in self.camera.position]

@@ -31,8 +31,16 @@ def main():
     print("serving on", port, flush=True)
 
     def state():
-        return json.loads(urllib.request.urlopen(
-            f"http://127.0.0.1:{port}/state", timeout=10).read())
+        # The very first responses can lag behind cold TPU compiles held
+        # under the viewer's ocean lock; retry instead of dying (the A/B
+        # measurement is useless if the probe aborts before steady state).
+        for _ in range(30):
+            try:
+                return json.loads(urllib.request.urlopen(
+                    f"http://127.0.0.1:{port}/state", timeout=30).read())
+            except (TimeoutError, OSError):
+                time.sleep(5)
+        raise RuntimeError("/state never answered")
 
     deadline = time.time() + 900
     while time.time() < deadline and state()["frame"] < 10:

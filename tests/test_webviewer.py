@@ -231,3 +231,32 @@ def test_webviewer_page_script_sane():
             assert marker in script, marker
     finally:
         viewer.stop()
+
+
+def test_webviewer_state_warming_stub_never_blocks():
+    """/state must answer while the sim thread holds the ocean lock for a
+    cold first compile (observed: a probe's 10 s HTTP timeout starved the
+    panel before the first frame, scripts/probe_webviewer.py). With no
+    cached snapshot and the lock held, _state returns a host-only warming
+    stub quickly instead of blocking behind the device step."""
+    ocean = Ocean(map_size=64, updates_per_second=0)
+    viewer = WebViewer(ocean, fps=30.0, width=64, height=36)
+    # Simulate the cold-start race without starting the sim thread.
+    assert viewer._state_cache is None
+    with viewer._ocean_lock:
+        t0 = time.time()
+        state = viewer._state()
+        took = time.time() - t0
+    assert state.get("warming") is True
+    assert took < 10.0
+    # Every key the page script and the probe touch is present.
+    for key in ("cascades", "map_size", "resolutions", "updates_per_second",
+                "water_color", "foam_color", "fps", "ms_frame", "frame",
+                "camera", "camera_speed", "spray", "mesh_quality",
+                "ambience_db"):
+        assert key in state, key
+    assert state["cascades"] == [] and state["frame"] == 0
+    # Once the lock frees, the same call produces (and caches) a real snapshot.
+    state = viewer._state()
+    assert "warming" not in state and len(state["cascades"]) == 3
+    assert viewer._state_cache is not None
