@@ -20,13 +20,13 @@ rate is the production metric (the reference simulates continuously at
 
 Prints the driver JSON line immediately after config 4 (p50 over REPS
 timing blocks; p99/min/max as extra fields so variance regressions are
-visible), then — once the config-5 leg (2048^2 dual wind+swell spectra on
-the strip tier + MapStreamer host streaming) completes — a second full JSON
-line repeating the record with config5_* fields attached, so the
-scale-past-the-reference-cap figures are machine-checkable too; finally a
-third full line adds render_ms_frame (the 640x360 displaced-geometry
-render). Each later line is a superset of the former, so any
-last-line/first-line parser gets a valid record.
+visible), then further FULL JSON lines as the later legs complete:
+rms_vs_oracle (on-device 512^2 step vs the NumPy oracle — the driver
+metric's RMS half), config5_* (2048^2 dual wind+swell spectra on the strip
+tier + MapStreamer host streaming, with bytes/frame + MB/s + preview-tier
+rate), and render_ms_frame (the 640x360 displaced-geometry render). Each
+later line is a superset of the former, so any last-line/first-line parser
+gets a valid record.
 """
 from __future__ import annotations
 
@@ -90,6 +90,64 @@ def bench_config4() -> dict:
     }
 
 
+def bench_rms() -> dict:
+    """On-device RMS vs the NumPy oracle — the driver metric's second half
+    (BASELINE.json:2 'ms/frame ... RMS err vs reference'), machine-recorded
+    every bench run instead of only in the CPU suite.
+
+    One 512^2 step of cascade 0 (default scene params) on the production
+    tier (fused Pallas on TPU), fp32 maps, vs tests/oracle.py's staged
+    NumPy transcription of the GLSL chain (spectrum_compute.glsl:34-124 ->
+    spectrum_modulate.glsl:53-89 -> fft_butterfly/fft_compute ->
+    fft_unpack.glsl:37-67). Relative RMS, gate <= 1e-4."""
+    import os
+    import numpy as np
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "tests"))
+    import oracle
+
+    n = 512
+    cfg = SimConfig(map_size=n, map_dtype="float32")
+    params = default_cascades()
+    state = init_state(cfg, params)
+    dt = 0.1
+    state, maps = step(cfg, state, params, dt)
+    got_d = np.asarray(maps.displacement[0]).transpose(1, 2, 0)
+    got_n = np.asarray(maps.normal[0]).transpose(1, 2, 0)
+
+    p0 = jax.tree.map(lambda x: np.asarray(x)[0], params)
+    u, f_m = float(p0.wind_speed), float(p0.fetch_length) * 1e3
+    h0, h0nc = oracle.packed_spectrum(
+        n, tuple(int(v) for v in p0.spectrum_seed), tuple(p0.tile_length),
+        alpha=float(oracle.jonswap_alpha(u, f_m)),
+        w_p=float(oracle.jonswap_peak_angular_frequency(u, f_m)),
+        wind_speed=u,
+        angle=np.deg2rad(float(p0.wind_direction)).astype(np.float32),
+        depth=cfg.depth, swell=float(p0.swell), detail=float(p0.detail),
+        spread=float(p0.spread))
+    layers = oracle.modulate(h0, h0nc, tuple(p0.tile_length), cfg.depth,
+                             120.0 + dt)
+    out = oracle.reference_fft_chain(layers, oracle.butterfly_factors(n))
+    grow = dt * float(p0.foam_amount) * 7.5
+    decay = dt * max(0.5, 10.0 - float(p0.foam_amount)) * 1.15
+    ref_d, ref_n, _ = oracle.unpack(out, np.zeros((n, n), np.float32),
+                                    float(p0.whitecap), grow, decay)
+
+    def rel_rms(got, ref):
+        scale = max(1e-9, float(np.sqrt(np.mean(ref.astype(np.float64) ** 2))))
+        d = got.astype(np.float64) - ref.astype(np.float64)
+        return float(np.sqrt(np.mean(d * d))) / scale
+
+    return {"rms": max(rel_rms(got_d, ref_d), rel_rms(got_n, ref_n)),
+            "tier": "pallas-fused" if cfg.use_fused_step()
+                    else cfg.resolved_fft_impl()}
+
+
+def _rms_subprocess() -> None:
+    """Entry for `python bench.py --rms`: isolated on-device RMS check."""
+    print(json.dumps(bench_rms()))
+
+
 def bench_config5() -> dict:
     """2048^2 dual wind+swell spectra: past the reference's 1024 cap
     (fft_compute.glsl:9). Single chip => strip-mined Pallas path
@@ -126,16 +184,44 @@ def bench_config5() -> dict:
 
     streamer = MapStreamer(step_once)
     # 3 frames suffice: the rate is pinned by relay D2H bandwidth (~117 MB of
-    # maps per frame at ~5 MB/s through the tunnel), not by simulation
+    # maps per frame at ~5 MB/s through the tunnel), not by simulation.
+    # bytes/frame + MB/s are emitted so a repo regression is distinguishable
+    # from relay weather (the link's bandwidth varies hour to hour).
     n_stream = 3
+    bytes_frame = 0
     t0 = time.perf_counter()
-    got = 0
     for host_maps in streamer.stream(num_frames=n_stream):
-        got += host_maps["displacement"].shape[0]
-    stream_fps = n_stream / (time.perf_counter() - t0)
+        bytes_frame = sum(int(v.nbytes) for v in host_maps.values())
+    dt_stream = time.perf_counter() - t0
+    stream_fps = n_stream / dt_stream
+    stream_mbps = n_stream * bytes_frame / dt_stream / 1e6
     streamer.close()
+
+    # Preview tier: consumers that only need a visual (the viewers, a host
+    # debugger) can stream bf16 + 2x2 spatial decimation, done device-side —
+    # 1/4 the bytes of the full-res bf16 maps (1/8 of fp32), so the rate is
+    # far less pinned by the relay link. (The reference abandoned readback
+    # entirely for this cost, README.md:83-85; full-res stays the default
+    # for consumers that compute on the maps.)
+    def step_preview():
+        m = step_once()
+        return jax.tree.map(
+            lambda x: x[..., ::2, ::2].astype(jnp.bfloat16), m)
+
+    preview = MapStreamer(step_preview)
+    pv_bytes = 0
+    t0 = time.perf_counter()
+    for host_maps in preview.stream(num_frames=n_stream):
+        pv_bytes = sum(int(v.nbytes) for v in host_maps.values())
+    pv_dt = time.perf_counter() - t0
+    preview.close()
+
     tier = "pallas-strip" if config.use_strip_step() else config.resolved_fft_impl()
-    return {"ms_frame": ms_frame, "stream_fps": stream_fps, "fft": tier}
+    return {"ms_frame": ms_frame, "stream_fps": stream_fps, "fft": tier,
+            "stream_bytes_frame": bytes_frame,
+            "stream_MBps": round(stream_mbps, 3),
+            "preview_fps": round(n_stream / pv_dt, 4),
+            "preview_bytes_frame": pv_bytes}
 
 
 def _config5_subprocess() -> None:
@@ -232,48 +318,63 @@ def main() -> None:
     }
     print(json.dumps(record))
     sys.stdout.flush()
-    # The config-5 leg runs AFTER a driver-facing JSON line is already on
-    # stdout: a congested remote compiler can push its subprocess past any
-    # external timeout, and the round metric must survive that. When the leg
-    # completes, a SECOND full JSON line repeats the record with the config-5
-    # figures attached, so a parser taking the last line gets them
-    # machine-checkable (BASELINE.md config 5) and one taking the first
-    # still gets a valid record.
-    try:
-        # fresh process: isolates config 5 from config 4's allocator state
-        # (the tunnel backend pages HBM to host; see bench_config5 docstring)
-        import pathlib
-        import subprocess
+    # Later legs run AFTER a driver-facing JSON line is already on stdout:
+    # a congested remote compiler can push a subprocess past any external
+    # timeout, and the round metric must survive that. Each completed leg
+    # re-prints the FULL record with its fields attached, so a parser taking
+    # the last line gets everything machine-checkable and one taking the
+    # first still gets a valid record.
+    import pathlib
+    import subprocess
+
+    def run_leg(flag: str, timeout: float = 2400) -> dict:
+        # fresh process per leg: isolates it from earlier legs' allocator
+        # state (the tunnel backend pages HBM to host; bench_config5 doc)
         out = subprocess.run(
-            [sys.executable, str(pathlib.Path(__file__).resolve()), "--config5"],
-            capture_output=True, text=True, timeout=2400, check=True)
-        r5 = json.loads(out.stdout.strip().splitlines()[-1])
+            [sys.executable, str(pathlib.Path(__file__).resolve()), flag],
+            capture_output=True, text=True, timeout=timeout, check=True)
+        return json.loads(out.stdout.strip().splitlines()[-1])
+
+    # RMS leg: the driver metric's second half (BASELINE.json:2), on device.
+    try:
+        rm = run_leg("--rms")
+        print(f"rms: 512^2 step ({rm['tier']} tier) vs tests/oracle.py "
+              f"NumPy truth = {rm['rms']:.3e} relative RMS (gate 1e-4)",
+              file=sys.stderr)
+        record = {**record, "rms_vs_oracle": rm["rms"],
+                  "rms_tier": rm["tier"]}
+        print(json.dumps(record))
+        sys.stdout.flush()
+    except Exception as e:  # informational legs never fail the bench
+        print(f"rms bench failed: {e!r}", file=sys.stderr)
+    try:
+        r5 = run_leg("--config5")
         print(
             f"config5: 2048^2 dual-spectra ({r5['fft']} tier) "
             f"{r5['ms_frame']:.2f} ms/frame; streamed-to-host "
-            f"{r5['stream_fps']:.2f} frames/s (BASELINE.md config 5)",
+            f"{r5['stream_fps']:.2f} frames/s "
+            f"({r5['stream_MBps']:.1f} MB/s at {r5['stream_bytes_frame']} "
+            f"B/frame; preview tier {r5['preview_fps']:.2f} fps at "
+            f"{r5['preview_bytes_frame']} B/frame) (BASELINE.md config 5)",
             file=sys.stderr,
         )
         record = {
             **record,
             "config5_ms_frame": round(r5["ms_frame"], 4),
             "config5_stream_fps": round(r5["stream_fps"], 4),
+            "config5_stream_MBps": r5["stream_MBps"],
+            "config5_stream_bytes_frame": r5["stream_bytes_frame"],
+            "config5_preview_fps": r5["preview_fps"],
             "config5_fft": r5["fft"],
         }
         print(json.dumps(record))
         sys.stdout.flush()
-    except Exception as e:  # config-5 is informational; never fail the bench
+    except Exception as e:
         print(f"config5 bench failed: {e!r}", file=sys.stderr)
     # Render leg (same pattern: informational, appended as a further full
-    # JSON line so the last stdout line stays a superset record). Fresh
-    # process for the same allocator-isolation reason as config 5.
+    # JSON line so the last stdout line stays a superset record).
     try:
-        import pathlib
-        import subprocess
-        out = subprocess.run(
-            [sys.executable, str(pathlib.Path(__file__).resolve()), "--render"],
-            capture_output=True, text=True, timeout=2400, check=True)
-        rr = json.loads(out.stdout.strip().splitlines()[-1])
+        rr = run_leg("--render")
         print(
             f"render: 640x360 displaced-geometry frame (high mesh, LOD) "
             f"{rr['ms_frame']:.2f} ms/frame (docs/PERF.md 'Geometry render')",
@@ -292,5 +393,7 @@ if __name__ == "__main__":
         _config5_subprocess()
     elif "--render" in sys.argv:
         _render_subprocess()
+    elif "--rms" in sys.argv:
+        _rms_subprocess()
     else:
         main()

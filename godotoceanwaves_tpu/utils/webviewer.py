@@ -324,6 +324,20 @@ class WebViewer:
             np.zeros((height, width, 3), np.uint8))
         self._frame_no = 0
         self._state_cache: dict | None = None
+        # Warming stub served while the sim thread holds _ocean_lock for the
+        # first 30-300 s compile: snapshotted HERE, before any thread exists,
+        # so _state never reads ocean host attributes unlocked (a concurrent
+        # /set resize could otherwise be observed mid-mutation). Startup
+        # values are fine — the stub only ever covers cold start.
+        self._warming_stub = {
+            "warming": True,
+            "cascades": [],
+            "map_size": ocean.config.map_size,
+            "resolutions": list(RESOLUTIONS),
+            "updates_per_second": ocean.updates_per_second,
+            "water_color": [float(v) for v in ocean.water_color],
+            "foam_color": [float(v) for v in ocean.foam_color],
+        }
         self._stop = threading.Event()
         self._server: ThreadingHTTPServer | None = None
         self._threads: list[threading.Thread] = []
@@ -472,15 +486,7 @@ class WebViewer:
                     if self._state_cache is None:
                         self._state_cache = snap
             else:
-                snap = {
-                    "warming": True,
-                    "cascades": [],
-                    "map_size": self.ocean.config.map_size,
-                    "resolutions": list(RESOLUTIONS),
-                    "updates_per_second": self.ocean.updates_per_second,
-                    "water_color": [float(v) for v in self.ocean.water_color],
-                    "foam_color": [float(v) for v in self.ocean.foam_color],
-                }
+                snap = self._warming_stub
         s = self.stats.summary()
         with self._cam_lock:
             cam = [float(v) for v in self.camera.position]

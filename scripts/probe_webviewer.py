@@ -34,11 +34,16 @@ def main():
         # The very first responses can lag behind cold TPU compiles held
         # under the viewer's ocean lock; retry instead of dying (the A/B
         # measurement is useless if the probe aborts before steady state).
+        # Catch-all: a torn response surfaces as HTTPException /
+        # JSONDecodeError, not just OSError (advisor round-3), and ANY
+        # single failed sample must not abort the 15-minute detached run.
         for _ in range(30):
             try:
                 return json.loads(urllib.request.urlopen(
-                    f"http://127.0.0.1:{port}/state", timeout=30).read())
-            except (TimeoutError, OSError):
+                    f"http://127.0.0.1:{port}/state", timeout=60).read())
+            except Exception as e:
+                print(f"/state retry after {type(e).__name__}: {e}",
+                      flush=True)
                 time.sleep(5)
         raise RuntimeError("/state never answered")
 
@@ -49,8 +54,16 @@ def main():
     time.sleep(60)
     f1, t1 = state()["frame"], time.time()
     s = state()
-    frame = urllib.request.urlopen(
-        f"http://127.0.0.1:{port}/frame.png", timeout=10).read()
+    frame = b""
+    for _ in range(5):
+        try:
+            frame = urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/frame.png", timeout=60).read()
+            break
+        except Exception as e:
+            print(f"/frame.png retry after {type(e).__name__}: {e}",
+                  flush=True)
+            time.sleep(5)
     print(f"served {(f1 - f0) / (t1 - t0):.2f} frames/s over {t1 - t0:.0f}s; "
           f"sim-thread {s.get('fps', 0.0):.2f} fps / "
           f"{s.get('ms_frame', 0.0):.1f} ms/frame; "

@@ -31,7 +31,9 @@ CAM, PITCH = (0.0, 12.0, 0.0), -12.0   # web-viewer default pose
 
 
 def chained(fn, carry, iters=12, repeats=3, warmup=2):
-    chk = jax.jit(lambda t: jnp.sum(jnp.abs(t.astype(jnp.float32))))
+    # fn: scalar -> scalar (chained data dependency forces completion
+    # through the relay, where block_until_ready does not).
+    chk = jax.jit(lambda t: jnp.abs(t))
     for _ in range(warmup):
         carry = fn(carry)
     float(chk(carry))
@@ -55,35 +57,50 @@ def main():
     # (name, kwargs) — baseline first; deltas are vs its image.
     configs = [
         ("baseline 40/8 mr256 lb1.0", {}),
+        ("march 32/6", dict(march_steps=32, bisect_steps=6)),
         ("march 24/6", dict(march_steps=24, bisect_steps=6)),
         ("march 16/5", dict(march_steps=16, bisect_steps=5)),
         ("lod_bias 1.5", dict(lod_bias=1.5)),
         ("lod_bias 2.0", dict(lod_bias=2.0)),
         ("march_res 128", dict(march_res=128)),
+        ("ures 256", dict(uniform_res=256)),
         ("combo 24/6 lb1.5 mr128",
          dict(march_steps=24, bisect_steps=6, lod_bias=1.5, march_res=128)),
+        ("combo 24/6 lb1.5 mr128 u256",
+         dict(march_steps=24, bisect_steps=6, lod_bias=1.5, march_res=128,
+              uniform_res=256)),
+        ("combo 16/5 lb2.0 mr128 u256",
+         dict(march_steps=16, bisect_steps=5, lod_bias=2.0, march_res=128,
+              uniform_res=256)),
     ]
 
     base_img = None
     for name, kw in configs:
-        @jax.jit
-        def frame(eps, kw=kw):
+        def render(eps, kw=kw):
+            # Tiny camera jiggle keeps the chained scalar live without
+            # moving the pose (|eps| <= 1 after tanh -> <= 1 um offset).
             img = geometry.render_ocean_geometry(
                 maps, scales, quality="high", width=W, height=H,
-                camera_pos=cam0 + eps * 1e-6, pitch_deg=PITCH, **kw)
+                camera_pos=cam0 + jnp.tanh(eps) * 1e-6, pitch_deg=PITCH,
+                **kw)
             return jnp.clip(img, 0, 1) ** (1 / 2.2) * 255
 
-        ms = chained(frame, jnp.float32(0.0))
-        img = np.asarray(frame(jnp.float32(0.0)))
+        # Timed fn: scalar in -> scalar out (advisor round-3 fix: the
+        # chained carry must NOT be the (H,W,3) image).
+        timed = jax.jit(lambda eps, render=render: jnp.sum(render(eps)) * 1e-9)
+        # Quality fn: exact pose (eps=0), full image.
+        image = jax.jit(lambda render=render: render(jnp.float32(0.0)))
+
+        ms = chained(timed, jnp.float32(0.0))
+        img = np.asarray(image())
         if base_img is None:
             base_img = img
-            rms = 0.0
-            mx = 0.0
+            rms, mx = 0.0, 0.0
         else:
             d = img.astype(np.float32) - base_img.astype(np.float32)
             rms = float(np.sqrt(np.mean(d * d)))
             mx = float(np.abs(d).max())
-        print(f"{name:28s} {ms:7.2f} ms  rms={rms:6.2f}/255 max={mx:5.1f}",
+        print(f"{name:30s} {ms:7.2f} ms  rms={rms:6.2f}/255 max={mx:5.1f}",
               flush=True)
 
 
