@@ -443,7 +443,11 @@ def shade(
                + foam_color * foam_factor[..., None])
     diffuse = diffuse * (1.0 - fresnel[..., None]) * light_color
 
-    return albedo * diffuse + specular[..., None] * light_color
+    # Reference quirk preserved: SPECULAR_LIGHT accumulates WITHOUT
+    # LIGHT_COLOR (water.gdshader:119) while DIFFUSE_LIGHT carries it
+    # (:126) — sun tint colors the diffuse only; glints stay white.
+    # Identical at the default white light (docs/PARITY.md).
+    return albedo * diffuse + specular[..., None]
 
 
 def render_ocean(

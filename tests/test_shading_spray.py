@@ -80,6 +80,40 @@ def test_shade_output_plausible():
     assert rgb.min() >= 0.0 and rgb.max() < 10.0
 
 
+def test_shade_specular_untinted_by_light_color():
+    """Reference semantics (water.gdshader:119 vs :126): SPECULAR_LIGHT
+    accumulates WITHOUT LIGHT_COLOR while DIFFUSE_LIGHT carries it — a
+    colored sun tints the water body but glints stay white. Pinned: at
+    light_color=0 the diffuse term vanishes and what remains (the bare
+    specular) must be channel-uniform; and changing light_color must move
+    the output by exactly the diffuse part (linear in light_color)."""
+    ocean, maps = _maps()
+    scales = ocean.params.map_scales()
+    xz = jnp.stack(jnp.meshgrid(jnp.linspace(0, 50, 8), jnp.linspace(0, 50, 8)), -1)
+    grad = shading.cascade_gradient(maps.normal, scales, xz)
+    view = jnp.broadcast_to(jnp.asarray([0.0, 0.8, -0.6]), grad.shape[:-1] + (3,))
+    light = jnp.asarray([0.0, 0.7, 0.714])
+    dist = jnp.full(grad.shape[:-1], 30.0)
+    h = jnp.zeros(grad.shape[:-1])
+
+    def shade(lc):
+        return np.asarray(shading.shade(grad, h, view, light, dist,
+                                        light_color=lc))
+
+    spec = shade((0.0, 0.0, 0.0))
+    # bare specular: untinted => identical channels, and nonzero somewhere
+    assert np.allclose(spec[..., 0], spec[..., 1], atol=1e-6)
+    assert np.allclose(spec[..., 0], spec[..., 2], atol=1e-6)
+    assert spec.max() > 0.0
+
+    white = shade((1.0, 1.0, 1.0))
+    tinted = shade((1.0, 0.5, 0.25))
+    # linear in light_color: out(lc) = diffuse_part * lc + spec
+    diffuse_part = white - spec
+    expect = diffuse_part * np.asarray([1.0, 0.5, 0.25]) + spec
+    np.testing.assert_allclose(tinted, expect, rtol=1e-5, atol=1e-6)
+
+
 def test_render_ocean_image():
     ocean, maps = _maps()
     img = shading.render_ocean(maps, ocean.params.map_scales(), width=64, height=36)
