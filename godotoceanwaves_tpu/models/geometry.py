@@ -245,6 +245,33 @@ def _pick_nbands(height: int, target: int = 16) -> int:
     return 1
 
 
+@functools.lru_cache(maxsize=32)
+def _upsample_weights(n: int, stride: int):
+    """Static decimation indices + linear upsample matrix for one axis.
+
+    Samples at 0, stride, 2*stride, ... plus the last index, so the
+    interpolation never extrapolates. Returns (indices (m,), weights
+    (n, m) fp32) with 2-sparse rows: out = weights @ values_at_indices.
+    Used by render_ocean_geometry's shade_res: gradients are smooth
+    fields, so tapping them on a decimated screen grid and linearly
+    upsampling is the classic half-res lighting-buffer trade."""
+    pos = list(range(0, n, stride))
+    if pos[-1] != n - 1:
+        pos.append(n - 1)
+    pos_a = np.asarray(pos, np.int64)
+    w = np.zeros((n, len(pos)), np.float32)
+    seg = np.clip(np.searchsorted(pos_a, np.arange(n), side="right") - 1,
+                  0, len(pos) - 2)
+    lo, hi = pos_a[seg], pos_a[seg + 1]
+    frac = (np.arange(n) - lo) / np.maximum(hi - lo, 1)
+    w[np.arange(n), seg] = 1.0 - frac
+    w[np.arange(n), seg + 1] = frac
+    # exact at sampled rows (incl. the appended last row)
+    w[pos_a] = 0.0
+    w[pos_a, np.arange(len(pos))] = 1.0
+    return pos_a, w
+
+
 def camera_rays(width: int, height: int, pitch_deg, yaw_deg, fov_deg,
                 row_offset=0, row_count: int | None = None):
     """Pixel ray directions (H, W, 3) for the FlyCamera basis convention
@@ -297,6 +324,7 @@ def render_ocean_geometry(
     lod_bands: int = 16,        # max horizontal LOD bands (must divide H)
     lod_levels: int = 4,        # max mip pyramid depth for the LOD taps
     lod_bias: float = 1.0,      # >1 = coarser mips (speed/detail tradeoff)
+    shade_res: int = 1,         # gradient taps every s-th pixel, upsampled
     rows=None,                  # (row_offset, row_count) band of the frame
     **shade_kwargs,
 ) -> jax.Array:
@@ -316,6 +344,12 @@ def render_ocean_geometry(
     5 s/frame at 640x360 (docs/PERF.md). The uniform cell (512 m / G) is
     the accel path's geometric resolution; "exact" marches the graded mesh
     interpolant itself (tests pin the two within tolerance).
+
+    `shade_res=s` (s > 1) takes the gradient taps — the dominant per-pixel
+    cost — on an every-s-th-pixel screen grid and linearly upsamples the
+    (smooth) gradient field back to full resolution before the per-pixel
+    shading nonlinearity; the LOD criterion sees the honest s-times-wider
+    tap footprint. The march, UV inversion, and shading remain full-res.
 
     `rows=(offset, count)` renders only that horizontal band of the full
     frame (rays, LOD bands, and output rows all restricted to the window;
@@ -504,7 +538,22 @@ def render_ocean_geometry(
     uv = jnp.stack([ux, uz], axis=-1)
 
     dist = t_safe
-    nb = _pick_nbands(local_h, lod_bands) \
+    # shade_res > 1: take the (dominant-cost) gradient taps on a decimated
+    # screen grid and linearly upsample — gradients are smooth fields, so
+    # this is the classic half-res lighting buffer; the shading nonlinearity
+    # (normalize/fresnel/specular) still runs per pixel. The tap footprint
+    # honestly widens by the stride, so the LOD criterion sees it too.
+    if shade_res > 1:
+        rows_g, row_w = _upsample_weights(local_h, shade_res)
+        cols_g, col_w = _upsample_weights(width, shade_res)
+        uv_g = uv[rows_g][:, cols_g]
+        dist_g = dist[rows_g][:, cols_g]
+        hit_g = hit[rows_g][:, cols_g]
+        h_g, w_g = len(rows_g), len(cols_g)
+    else:
+        uv_g, dist_g, hit_g = uv, dist, hit
+        h_g, w_g = local_h, width
+    nb = _pick_nbands(h_g, lod_bands) \
         if (gradient_lod and sampler == "mxu") else 1
     if nb > 1:
         # screen-space LOD (shading.py "screen-space LOD" block): horizontal
@@ -516,16 +565,19 @@ def render_ocean_geometry(
         # central-pixel angular size; edge pixels subtend slightly less,
         # which only tightens the (already conservative) sub-pixel bound
         theta_pix = (2.0 * jnp.tan(jnp.deg2rad(
-            jnp.asarray(fov_deg, jnp.float32)) / 2) / width)
+            jnp.asarray(fov_deg, jnp.float32)) / 2) / width) * shade_res
         lev = shading.gradient_band_levels(
-            dist.reshape(nb, -1), hit.reshape(nb, -1), map_scales,
+            dist_g.reshape(nb, -1), hit_g.reshape(nb, -1), map_scales,
             theta_pix, maps.normal.shape[-1], len(pyr), bias=lod_bias)
         grad = shading.cascade_gradient_lod(
-            pyr, map_scales, uv.reshape(nb, -1, 2), lev)
-        grad = grad.reshape(local_h, width, 3)
+            pyr, map_scales, uv_g.reshape(nb, -1, 2), lev)
+        grad = grad.reshape(h_g, w_g, 3)
     else:
-        grad = shading.cascade_gradient(maps.normal, map_scales, uv,
+        grad = shading.cascade_gradient(maps.normal, map_scales, uv_g,
                                         sampler=sampler)
+    if shade_res > 1:
+        grad = jnp.einsum("ir,rck,jc->ijk", jnp.asarray(row_w), grad,
+                          jnp.asarray(col_w))
     rgb = shading.shade(grad, p[..., 1], -d, light, dist, **shade_kwargs)
     rgb = jnp.where(hit[..., None], rgb, shading.sky_color(d, light))
     if environment:

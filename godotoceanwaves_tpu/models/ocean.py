@@ -529,16 +529,23 @@ class Ocean:
             normal=self.maps.normal.at[idx].set(nm),
         )
 
-    def resize(self, map_size: int) -> None:
+    def resize(self, map_size: int, clear_jit_caches: bool = True) -> None:
         """Change the map resolution: full state rebuild, params preserved.
 
         The analog of the reference's map_size setter tearing down and
         recreating the whole GPU pipeline (water.gd:38-41 ->
-        _setup_wave_generator); here it is a new SimConfig + regenerated
-        spectra (jit caches for the old shape are simply left behind).
+        _setup_wave_generator). By default the process-wide jit executable
+        caches are cleared too — a long-lived session cycling resolutions
+        otherwise accumulates stale old-shape executables on a backend that
+        pages HBM to host (docs/PERF.md measurement traps). Pass
+        clear_jit_caches=False when a caller has deliberately pre-warmed
+        the new shape's executables (utils/webviewer background resize) —
+        clearing would throw that warm-up away.
         """
         import dataclasses as _dc
         self.config = _dc.replace(self.config, map_size=map_size)
+        if clear_jit_caches:
+            jax.clear_caches()
         self.state = init_state(self.config, self.params)
         self._dirty[:] = False
         self._pending = []

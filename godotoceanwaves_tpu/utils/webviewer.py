@@ -341,6 +341,13 @@ class WebViewer:
         self._stop = threading.Event()
         self._server: ThreadingHTTPServer | None = None
         self._threads: list[threading.Thread] = []
+        # async resize state (guarded by _cam_lock — host-side, instant):
+        # the panel's resolution combo must swap live like the reference's
+        # (main.gd:66-70), so resizes warm the new shape's executables on a
+        # throwaway state in a background thread while old-size frames keep
+        # serving, then swap under _ocean_lock.
+        self._resizing = False
+        self._resize_pending: int | None = None
         self._build_renderers()
 
     def _build_renderers(self) -> None:
@@ -492,6 +499,7 @@ class WebViewer:
             cam = [float(v) for v in self.camera.position]
             speed = float(self.camera.speed)
             spray_on = self.spray_enabled
+            resizing = self._resizing
         # ambience mix law from the live stack (main.gd:39-44): total wind
         # speed from the cached snapshot — no device interaction
         from .audio import ambience_gains_db
@@ -499,6 +507,7 @@ class WebViewer:
         return {**snap, "fps": s["fps"], "ms_frame": s["ms_mean"],
                 "frame": frame_no, "camera": cam, "camera_speed": speed,
                 "spray": spray_on, "mesh_quality": self.mesh_quality,
+                "resizing": resizing,
                 "ambience_db": list(ambience_gains_db(total_wind))}
 
     def _apply(self, req: dict) -> None:
@@ -507,10 +516,13 @@ class WebViewer:
         if name in ("camera_look", "camera_move", "camera_speed", "spray"):
             self._apply_camera(name, value)
             return
+        if name == "map_size":
+            # Async: never stall the serving loop behind the new shape's
+            # 30-300 s first compile — warm in the background, then swap.
+            self._resize_async(int(value))
+            return
         with self._ocean_lock:
-            if name == "map_size":
-                self.ocean.resize(int(value))
-            elif name == "mesh_quality":
+            if name == "mesh_quality":
                 if value not in ("low", "high"):
                     raise KeyError(value)
                 self.mesh_quality = value
@@ -538,6 +550,73 @@ class WebViewer:
                                        **{name: float(value)})
             else:
                 raise KeyError(name)
+            snap = self._snapshot_ocean()
+        with self._frame_lock:
+            self._state_cache = snap
+
+    # --- async resize (reference bar: the ImGui resolution combo swaps
+    # live, main.gd:66-70) ---------------------------------------------------
+    def _resize_async(self, new_size: int) -> None:
+        """Warm the new map size's executables in a background thread, then
+        swap. Old-size frames keep serving throughout; rapid clicks collapse
+        to the latest request."""
+        with self._cam_lock:
+            if self._resizing:
+                self._resize_pending = new_size
+                return
+            self._resizing = True
+        threading.Thread(target=self._warm_and_swap, args=(new_size,),
+                         daemon=True).start()
+
+    def _warm_and_swap(self, new_size: int) -> None:
+        try:
+            while True:
+                self._warm_one_size(new_size)
+                with self._cam_lock:
+                    nxt = self._resize_pending
+                    self._resize_pending = None
+                    if nxt is None or nxt == new_size:
+                        self._resizing = False
+                        return
+                new_size = nxt
+        except Exception:
+            import traceback
+            traceback.print_exc()
+            with self._cam_lock:
+                self._resizing = False
+                self._resize_pending = None
+
+    def _warm_one_size(self, new_size: int) -> None:
+        """Compile step + render for `new_size` on throwaway state (no lock
+        held — frames keep flowing), then swap the live ocean under the lock
+        with clear_jit_caches=False so the warm-up is what the next real
+        update hits."""
+        import dataclasses as _dc
+
+        import jax.numpy as jnp
+
+        from .. import init_state
+        from ..models.ocean import step
+        from ..models.viewport import SpraySession
+
+        cfg = _dc.replace(self.ocean.config, map_size=new_size)
+        params = self.ocean.params  # frozen pytree; safe to read unlocked
+        state = init_state(cfg, params)
+        state, maps = step(cfg, state, params, jnp.float32(1.0 / self.fps))
+        scales = params.map_scales()
+        wc = np.asarray(self.ocean.water_color, np.float32)
+        fc = np.asarray(self.ocean.foam_color, np.float32)
+        pos, pitch, yaw = self._camera_args()
+        # throwaway spray session: warming must not advance the live
+        # particles' respawn cycles
+        attrs = (SpraySession(self._spray._num_particles)
+                 .advance(maps, scales, 1.0 / self.fps)
+                 if self.spray_enabled else None)
+        img = self._viewport.render(maps, scales, wc, fc, pos, pitch, yaw,
+                                    spray_attrs=attrs)
+        np.asarray(img)  # force the compile + run to completion
+        with self._ocean_lock:
+            self.ocean.resize(new_size, clear_jit_caches=False)
             snap = self._snapshot_ocean()
         with self._frame_lock:
             self._state_cache = snap

@@ -72,7 +72,22 @@ def main():
         ("combo 16/5 lb2.0 mr128 u256",
          dict(march_steps=16, bisect_steps=5, lod_bias=2.0, march_res=128,
               uniform_res=256)),
+        # round-4: half-res gradient taps + screen-space upsample (the
+        # structural lever — the dominant cost is the per-pixel taps)
+        ("shade_res 2", dict(shade_res=2)),
+        ("shade_res 2 march 24/6", dict(shade_res=2, march_steps=24,
+                                        bisect_steps=6)),
+        ("shade_res 2 24/6 mr128", dict(shade_res=2, march_steps=24,
+                                        bisect_steps=6, march_res=128)),
+        ("shade_res 3 24/6", dict(shade_res=3, march_steps=24,
+                                  bisect_steps=6)),
     ]
+
+    # optional argv[1] substring filter (baseline always runs — it is the
+    # quality yardstick); e.g. `... profile_render_knobs.py shade_res`
+    if len(sys.argv) > 1:
+        pat = sys.argv[1]
+        configs = [configs[0]] + [c for c in configs[1:] if pat in c[0]]
 
     base_img = None
     for name, kw in configs:

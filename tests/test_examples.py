@@ -2,6 +2,7 @@
 import pathlib
 import subprocess
 import sys
+import pytest
 
 ROOT = pathlib.Path(__file__).resolve().parents[1]
 
@@ -20,12 +21,14 @@ def _run(script: str, timeout: float = 600.0) -> str:
     return proc.stdout
 
 
+@pytest.mark.slow
 def test_multichip_example():
     out = _run("multichip.py")
     assert "'patch': 2" in out and "'rows': 4" in out
     assert "PartitionSpec('patch', None, None, 'rows')" in out
 
 
+@pytest.mark.slow
 def test_quickstart_example():
     out = _run("quickstart.py")
     assert "displacement planes: (3, 3, 256, 256)" in out

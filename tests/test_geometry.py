@@ -73,6 +73,7 @@ def test_displaced_grid_is_the_vertex_stage(ocean_maps):
                                    rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_silhouette_differs_from_flat_render(ocean_maps):
     """Wave crests must rise above the flat-plane horizon: the geometry
     render shows water where the y=0 raycast shows sky."""
@@ -109,6 +110,7 @@ def test_zero_displacement_reduces_to_flat_plane(ocean_maps):
     assert np.percentile(diff, 99) < 0.05
 
 
+@pytest.mark.slow
 def test_geometry_render_is_jittable_with_traced_camera(ocean_maps):
     """Camera pose rides as traced args: moving the camera must not retrace
     (the fly-camera requirement for the live surfaces)."""
@@ -149,6 +151,7 @@ def test_uniform_accel_matches_exact(ocean_maps):
     assert (sky_u != sky_e).mean() < 0.02
 
 
+@pytest.mark.slow
 def test_mxu_sampler_matches_gather(ocean_maps):
     """The gather-free hat-weight MXU sampler must agree with the gather
     sampler up to bf16 table/weight rounding (the TPU production sampler;
@@ -170,6 +173,7 @@ def test_mxu_sampler_matches_gather(ocean_maps):
     assert (sky_m != sky_g).mean() < 0.02
 
 
+@pytest.mark.slow
 def test_pallas_march_matches_xla_bracket(ocean_maps):
     """The fused march kernel (ops/pallas_march.py, interpret mode here)
     implements the staged path's bracket algebra exactly: same first-crossing
@@ -319,3 +323,35 @@ def test_separable_grid_displacement_matches_pointwise(ocean_maps):
         sampler="mxu")
     np.testing.assert_allclose(np.asarray(sep), np.asarray(ref),
                                atol=2e-3, rtol=0)
+
+
+def test_upsample_weights_exact_and_partition_of_unity():
+    for n, s in [(96, 2), (97, 2), (360, 3), (17, 4), (5, 8)]:
+        idx, w = geometry._upsample_weights(n, s)
+        assert idx[0] == 0 and idx[-1] == n - 1
+        v = np.random.RandomState(n).randn(len(idx)).astype(np.float32)
+        full = w @ v
+        np.testing.assert_allclose(full[idx], v, atol=1e-6)   # exact at taps
+        np.testing.assert_allclose(w.sum(axis=1), 1.0, atol=1e-6)
+        assert (w >= 0).all() and (np.count_nonzero(w, axis=1) <= 2).all()
+
+
+def test_shade_res_close_to_dense(ocean_maps):
+    """shade_res=2 (half-res gradient taps + screen-space upsample) must
+    stay visually close to the dense render: gradients are smooth fields,
+    the shading nonlinearity still runs per pixel."""
+    maps, scales = ocean_maps
+    kw = dict(width=W, height=H, light_dir=LIGHT, march_steps=16,
+              bisect_steps=5, sampler="mxu",
+              camera_pos=(0.0, 9.0, 0.0), pitch_deg=-14.0)
+    dense = np.asarray(geometry.render_ocean_geometry(maps, scales, "low",
+                                                      **kw))
+    half = np.asarray(geometry.render_ocean_geometry(maps, scales, "low",
+                                                     shade_res=2, **kw))
+    assert half.shape == dense.shape
+    assert np.isfinite(half).all()
+    assert np.abs(half - dense).mean() < 0.03
+    # sky region is untouched by the gradient path
+    sky = _sky_mask(half, pitch_deg=-14.0)
+    if sky.any():
+        np.testing.assert_allclose(half[sky], dense[sky], atol=1e-6)

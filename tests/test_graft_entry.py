@@ -1,6 +1,7 @@
 """Driver-contract tests: entry() compiles and runs; dryrun_multichip works."""
 import sys
 import pathlib
+import pytest
 
 import numpy as np
 import jax
@@ -17,6 +18,7 @@ def test_entry_compiles_and_runs():
     assert bool(jax.numpy.isfinite(maps.displacement).all())
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_eight_virtual_devices():
     __graft_entry__.dryrun_multichip(8)
 

@@ -13,6 +13,7 @@ from godotoceanwaves_tpu.ops import pallas_step
 
 
 @pytest.mark.parametrize("n", [128, 256])
+@pytest.mark.slow
 def test_fused_step_matches_staged_pipeline(n, rms, monkeypatch):
     monkeypatch.setattr(pl, "pallas_call",
                         functools.partial(pl.pallas_call, interpret=True))
@@ -41,6 +42,7 @@ def test_fused_step_matches_staged_pipeline(n, rms, monkeypatch):
 
 
 @pytest.mark.parametrize("fpp", [1, 3])   # one frame per program / all unrolled
+@pytest.mark.slow
 def test_fused_multi_step_matches_repeated_single(rms, monkeypatch, fpp):
     """K-frame kernel (spectra fetched once, foam carried in VMEM) must equal
     K sequential single-frame kernel calls: every frame's maps and the final
@@ -82,6 +84,7 @@ def test_fused_multi_step_matches_repeated_single(rms, monkeypatch, fpp):
     assert rms(foam_multi, foam) < 1e-6  # final foam after the in-VMEM recurrence
 
 
+@pytest.mark.slow
 def test_step_frames_and_multi_step_fused_path(rms, monkeypatch):
     """ocean.step_frames / multi_step through the multi-frame kernel == the
     staged per-frame loop."""

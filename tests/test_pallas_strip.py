@@ -13,6 +13,7 @@ from godotoceanwaves_tpu.ops import pallas_step, pallas_strip
 
 
 @pytest.mark.parametrize("n,bufs", [(256, 1), (256, 2), (512, 2)])
+@pytest.mark.slow
 def test_strip_step_matches_staged_pipeline(n, bufs, rms, monkeypatch):
     """The two-kernel HBM-staged chain == the staged planes path.
 
@@ -85,6 +86,7 @@ def test_use_strip_step_gating():
                      map_dtype="float16").use_strip_step()
 
 
+@pytest.mark.slow
 def test_strip_step_float16_maps(rms, monkeypatch):
     """f16 maps route through the strip tier too (fp32 kernel + output cast
     == the staged path's f16 cast)."""

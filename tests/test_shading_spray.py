@@ -2,6 +2,7 @@
 import numpy as np
 import jax
 import jax.numpy as jnp
+import pytest
 
 from godotoceanwaves_tpu import Ocean, OceanMaps
 from godotoceanwaves_tpu.models import shading, spray
@@ -67,6 +68,7 @@ def test_distance_falloff_kills_far_displacement():
     assert np.abs(np.asarray(d)).max() < 1e-4
 
 
+@pytest.mark.slow
 def test_shade_output_plausible():
     ocean, maps = _maps()
     scales = ocean.params.map_scales()
@@ -114,6 +116,7 @@ def test_shade_specular_untinted_by_light_color():
     np.testing.assert_allclose(tinted, expect, rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_render_ocean_image():
     ocean, maps = _maps()
     img = shading.render_ocean(maps, ocean.params.map_scales(), width=64, height=36)
@@ -197,6 +200,7 @@ def test_spray_lifecycle():
     assert int(np.asarray(st3.cycle).min()) >= 1
 
 
+@pytest.mark.slow
 def test_spray_activation_requires_foam():
     """With zero foam everywhere, no particle may activate (gdshader:91)."""
     ocean, maps = _maps()

@@ -97,6 +97,7 @@ def test_beyond_reference_resolution_cap():
     assert np.isfinite(d).all() and d[:, :, 1].std() > 0.0
 
 
+@pytest.mark.slow
 def test_sharded_2048_matches_single_device():
     """Row-sharded 2048^2 output == unsharded XLA-FFT output (1 cascade)."""
     mesh = build_mesh(jax.devices(), rows=8)
@@ -118,6 +119,7 @@ def test_sharded_2048_matches_single_device():
     assert np.sqrt(np.mean((got - ref) ** 2)) / scale < 1e-4
 
 
+@pytest.mark.slow
 def test_multichip_step_pallas_rows_kernel_seam(monkeypatch):
     """Execute the PRODUCTION multi-chip composition with the Pallas rows
     kernel actually selected (sharding.py impl routing + ifft2_planes_sharded
@@ -167,6 +169,7 @@ def test_multichip_step_pallas_rows_kernel_seam(monkeypatch):
     assert np.sqrt(np.mean((gn - rn) ** 2)) < 1e-4
 
 
+@pytest.mark.slow
 def test_render_geometry_sharded_matches_single_device():
     """Row-banded multi-chip render == the single-device frame.
 
@@ -201,6 +204,7 @@ def test_render_geometry_sharded_matches_single_device():
     np.testing.assert_allclose(got, dense, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_render_geometry_sharded_lod_bands_close():
     """With gradient LOD on, each device picks mips from its LOCAL band's
     hit distances — a (documented) banding difference vs the dense frame,

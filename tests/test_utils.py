@@ -1,5 +1,6 @@
 """Utility-layer tests: clipmap (native vs twin), timing, observability, RNG."""
 import numpy as np
+import pytest
 
 from godotoceanwaves_tpu.utils import clipmap, observability
 from godotoceanwaves_tpu.utils.godot_rng import GodotRNG
@@ -221,6 +222,7 @@ def test_audio_procedural_loops(tmp_path):
     assert np.max(np.abs(frames / 32767.0 - np.clip(mix_storm, -1, 1))) < 1e-4
 
 
+@pytest.mark.slow
 def test_live_viewer_runtime_editing():
     """The C1/C14 capability: parameters editable while simulating, with
     immediate re-simulation (dirty-bit regen) and live stats (main.gd:57-121)."""
@@ -249,6 +251,7 @@ def test_live_viewer_runtime_editing():
     assert viewer.quit
 
 
+@pytest.mark.slow
 def test_live_viewer_resolution_cycle():
     from godotoceanwaves_tpu import Ocean
     from godotoceanwaves_tpu.utils.live import LiveViewer
@@ -262,6 +265,7 @@ def test_live_viewer_resolution_cycle():
     assert ocean.config.map_size == 256  # cycled 128 -> 256 (main.gd:68 combo)
 
 
+@pytest.mark.slow
 def test_live_viewer_fly_camera_and_views():
     """ANSI surface flies the camera (camera.gd keys) and toggles between
     the 3D displaced-geometry view and the top-down field view."""
@@ -291,6 +295,7 @@ def test_live_viewer_fly_camera_and_views():
     assert "\x1b[38;2;" in text       # rendered half-blocks
 
 
+@pytest.mark.slow
 def test_live_viewer_spray_composites_in_3d_view():
     """ANSI 3D view advances and composites the spray system (the scene
     renders spray always, main.tscn:133-140)."""
@@ -330,6 +335,7 @@ def test_package_import_never_initializes_a_backend():
     assert "clean" in out.stdout
 
 
+@pytest.mark.slow
 def test_demo_frame_loop_cpu_end_to_end(tmp_path):
     """`demo.py --cpu` drives the whole offline pipeline — sim, spray,
     displaced-geometry render, pipelined fetch, GIF encode — anywhere

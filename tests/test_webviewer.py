@@ -2,6 +2,7 @@
 import json
 import time
 import urllib.request
+import pytest
 
 import numpy as np
 
@@ -21,6 +22,7 @@ def _post(port, body):
         return r.status
 
 
+@pytest.mark.slow
 def test_webviewer_serves_and_edits_parameters():
     ocean = Ocean(map_size=64, updates_per_second=0)
     viewer = WebViewer(ocean, fps=30.0, width=64, height=36)
@@ -86,6 +88,7 @@ def test_webviewer_serves_and_edits_parameters():
         viewer.stop()
 
 
+@pytest.mark.slow
 def test_webviewer_fly_camera_and_spray():
     """The browser surface drives the reference's fly camera (camera.gd:15-47)
     and the spray system (main.tscn:133-140) through POST /set."""
@@ -133,6 +136,7 @@ def test_webviewer_fly_camera_and_spray():
         viewer.stop()
 
 
+@pytest.mark.slow
 def test_webviewer_frames_track_camera_motion():
     """Flying the camera must change the served frame (the pose rides as
     traced args into the jitted renderer, not baked constants)."""
@@ -162,6 +166,7 @@ def test_webviewer_frames_track_camera_motion():
         viewer.stop()
 
 
+@pytest.mark.slow
 def test_webviewer_serves_wind_mixed_ambience():
     """The browser surface carries the reference's ambience (main.gd:39-44):
     seamless loop endpoints + the wind-speed dB mix law in /state."""
@@ -209,6 +214,7 @@ def test_webviewer_serves_wind_mixed_ambience():
         viewer.stop()
 
 
+@pytest.mark.slow
 def test_webviewer_page_script_sane():
     """The panel page is a %%-formatted template edited by hand; a stray
     format token or an unbalanced brace silently breaks ALL panel JS in
@@ -260,3 +266,74 @@ def test_webviewer_state_warming_stub_never_blocks():
     state = viewer._state()
     assert "warming" not in state and len(state["cascades"]) == 3
     assert viewer._state_cache is not None
+
+
+@pytest.mark.slow
+def test_webviewer_async_resize_keeps_serving(monkeypatch):
+    """A map_size change must not stall the panel behind the new shape's
+    first compile (30-300 s on the real TPU): the resize warms in a
+    background thread (fake slow compile here) while old-size frames keep
+    serving, then swaps. Reference bar: the ImGui resolution combo swaps
+    live (main.gd:66-70)."""
+    from godotoceanwaves_tpu.utils import webviewer as wv
+
+    ocean = Ocean(map_size=64, updates_per_second=0)
+    viewer = WebViewer(ocean, fps=30.0, width=64, height=36)
+
+    import threading
+    warm_started = threading.Event()
+    warm_release = threading.Event()
+    real_warm = WebViewer._warm_one_size
+
+    def slow_warm(self, new_size):
+        warm_started.set()
+        assert warm_release.wait(60), "test never released the fake compile"
+        real_warm(self, new_size)
+
+    monkeypatch.setattr(WebViewer, "_warm_one_size", slow_warm)
+    port = viewer.start(port=0)
+    try:
+        # wait for first frames at the old size
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            if json.loads(_get(port, "/state")[2])["frame"] >= 2:
+                break
+            time.sleep(0.1)
+
+        assert _post(port, {"name": "map_size", "value": 128}) == 200
+        assert warm_started.wait(30), "background warm never started"
+
+        # while the fake compile blocks: panel responsive, old size serving
+        f0 = json.loads(_get(port, "/state")[2])["frame"]
+        t0 = time.time()
+        state = json.loads(_get(port, "/state")[2])
+        assert time.time() - t0 < 5.0
+        assert state["map_size"] == 64 and state["resizing"] is True
+        deadline = time.time() + 30
+        while time.time() < deadline:
+            state = json.loads(_get(port, "/state")[2])
+            if state["frame"] > f0 + 1:
+                break
+            time.sleep(0.1)
+        assert state["frame"] > f0 + 1, "frames stalled during resize warm"
+
+        warm_release.set()
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            state = json.loads(_get(port, "/state")[2])
+            if state["map_size"] == 128 and not state["resizing"]:
+                break
+            time.sleep(0.2)
+        assert state["map_size"] == 128 and state["resizing"] is False
+        assert ocean.config.map_size == 128
+        # and frames keep coming at the new size
+        f1 = state["frame"]
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            if json.loads(_get(port, "/state")[2])["frame"] > f1:
+                break
+            time.sleep(0.1)
+        assert json.loads(_get(port, "/state")[2])["frame"] > f1
+    finally:
+        warm_release.set()
+        viewer.stop()
