@@ -227,8 +227,7 @@ def bench_config5() -> dict:
 def _config5_subprocess() -> None:
     """Entry for `python bench.py --config5`: isolated config-5 run."""
     r5 = bench_config5()
-    print(json.dumps({"ms_frame": r5["ms_frame"],
-                      "stream_fps": r5["stream_fps"], "fft": r5["fft"]}))
+    print(json.dumps(r5))
 
 
 def bench_render() -> dict:

@@ -50,6 +50,11 @@ class OceanState:
     """
     h0: jax.Array      # (C, 2, N, N) float32 — planes of h0(k)
     h0nc: jax.Array    # (C, 2, N, N) float32 — planes of conj(h0(-k))
+    omega: jax.Array   # (C, N, N) float32 — dispersion omega(k), computed
+    #   host-side (spectra.dispersion_grid_host): TPU tanh is ~600 ulp off
+    #   and the phase omega*t amplifies that by t~120 s into 7e-4 map RMS
+    #   (scripts/probe_dispersion_ulp.py). Like h0 it depends only on
+    #   (N, tile_length, depth) — rebuilt on refresh/resize, never per frame.
     foam: jax.Array    # (C, N, N) float32 — persistent foam accumulator
     time: jax.Array    # (C,) float32 — per-cascade simulation time
 
@@ -98,13 +103,29 @@ cascade — the dirty-only regeneration granularity (wave_generator.gd:67-72
 re-runs spectrum_compute only for the cascade whose params changed)."""
 
 
+def generate_omega(config: SimConfig, params: CascadeParams,
+                   indices: Sequence[int] | None = None) -> jax.Array:
+    """Host-exact dispersion planes (C or len(indices), N, N) fp32.
+
+    Computed in NumPy (spectra.dispersion_grid_host) — requires concrete
+    params (init/refresh are eager); see OceanState.omega for why this is
+    not in-graph."""
+    tiles = np.asarray(params.tile_length, np.float32)
+    idxs = range(tiles.shape[0]) if indices is None else indices
+    return jnp.asarray(np.stack([
+        spectra.dispersion_grid_host(config.map_size, tiles[int(i)],
+                                     config.depth, config.g)
+        for i in idxs]))
+
+
 def init_state(config: SimConfig, params: CascadeParams) -> OceanState:
     """Fresh state: generated spectra, zero foam, staggered time offsets."""
     h0, h0nc = generate_spectrum(config, params)
     c = params.num_cascades
     n = config.map_size
     time = TIME_OFFSET_BASE + TIME_OFFSET_STEP * jnp.arange(c, dtype=jnp.float32)
-    return OceanState(h0=h0, h0nc=h0nc, foam=jnp.zeros((c, n, n), jnp.float32), time=time)
+    return OceanState(h0=h0, h0nc=h0nc, omega=generate_omega(config, params),
+                      foam=jnp.zeros((c, n, n), jnp.float32), time=time)
 
 
 def _foam_rates(p: CascadeParams, dt):
@@ -140,16 +161,15 @@ def step_impl(config: SimConfig, state: OceanState, params: CascadeParams, dt
             from ..ops import pallas_strip
             kernel_step = pallas_strip.strip_cascade_step
         disp, normal, foam = kernel_step(
-            state.h0, state.h0nc, state.foam, scal,
-            depth=config.depth, g=config.g,
+            state.h0, state.h0nc, state.omega, state.foam, scal,
             map_dtype=config.resolved_map_dtype())
-        new_state = OceanState(h0=state.h0, h0nc=state.h0nc, foam=foam, time=t_new)
+        new_state = state.replace(foam=foam, time=t_new)
         return new_state, OceanMaps(displacement=disp, normal=normal)
 
     layers = jax.vmap(
-        lambda h0, h0nc, t, p: modulate_ops.modulate_planes(
-            h0, h0nc, p.tile_length, config.depth, t, config.g)
-    )(state.h0, state.h0nc, t_new, params)                      # (C, 4, 2, N, N)
+        lambda h0, h0nc, om, t, p: modulate_ops.modulate_planes(
+            h0, h0nc, p.tile_length, config.depth, t, config.g, omega=om)
+    )(state.h0, state.h0nc, state.omega, t_new, params)         # (C, 4, 2, N, N)
 
     fields = fft.ifft2_packed_planes(
         layers.reshape(c * 4, 2, n, n),
@@ -163,7 +183,7 @@ def step_impl(config: SimConfig, state: OceanState, params: CascadeParams, dt
             pre_shifted=fold, map_dtype=config.resolved_map_dtype())
 
     disp, normal, foam = jax.vmap(unpack_one)(fields, state.foam, params)
-    new_state = OceanState(h0=state.h0, h0nc=state.h0nc, foam=foam, time=t_new)
+    new_state = state.replace(foam=foam, time=t_new)
     return new_state, OceanMaps(displacement=disp, normal=normal)
 
 
@@ -193,11 +213,10 @@ def _step_frames_impl(config: SimConfig, state: OceanState,
             state.time + dt, params.tile_length, params.whitecap, grow, decay,
             dt=dt)
         disp, normal, foam = pallas_step.fused_cascade_multi_step(
-            state.h0, state.h0nc, state.foam, scal, num_frames=num_frames,
-            depth=config.depth, g=config.g,
+            state.h0, state.h0nc, state.omega, state.foam, scal,
+            num_frames=num_frames,
             map_dtype=config.resolved_map_dtype())
-        new_state = OceanState(h0=state.h0, h0nc=state.h0nc, foam=foam,
-                               time=state.time + dt * num_frames)
+        new_state = state.replace(foam=foam, time=state.time + dt * num_frames)
         return new_state, OceanMaps(displacement=disp, normal=normal)
 
     frames = []
@@ -259,6 +278,7 @@ def _refresh_impl(config: SimConfig, state: OceanState, params: CascadeParams,
     grow, decay = _foam_rates(p, dt)
     t = state.time[idx]
     h0, h0nc, foam_in = state.h0[idx], state.h0nc[idx], state.foam[idx]
+    omega = state.omega[idx]
 
     if config.use_fused_step() or config.use_strip_step():
         from ..ops import pallas_step
@@ -269,13 +289,13 @@ def _refresh_impl(config: SimConfig, state: OceanState, params: CascadeParams,
             from ..ops import pallas_strip
             kernel_step = pallas_strip.strip_cascade_step
         d, nm, foam_sub = kernel_step(
-            h0, h0nc, foam_in, scal, depth=config.depth, g=config.g,
+            h0, h0nc, omega, foam_in, scal,
             map_dtype=config.resolved_map_dtype())
     else:
         layers = jax.vmap(
-            lambda a, b, tt, pp: modulate_ops.modulate_planes(
-                a, b, pp.tile_length, config.depth, tt, config.g)
-        )(h0, h0nc, t, p)
+            lambda a, b, om, tt, pp: modulate_ops.modulate_planes(
+                a, b, pp.tile_length, config.depth, tt, config.g, omega=om)
+        )(h0, h0nc, omega, t, p)
         fields = fft.ifft2_packed_planes(
             layers.reshape(k * 4, 2, n, n),
             impl=config.resolved_fft_impl(), fold_sign=fold,
@@ -465,14 +485,20 @@ class Ocean:
             return
         if idxs.size == self.num_cascades:
             h0, h0nc = generate_spectrum(self.config, self.params)
+            omega = generate_omega(self.config, self.params)
         else:
             h0, h0nc = self.state.h0, self.state.h0nc
+            omega = self.state.omega
             for i in idxs:
                 p = jax.tree.map(lambda x: x[int(i)], self.params)
                 h0_i, h0nc_i = generate_spectrum_one(self.config, p)
                 h0 = h0.at[int(i)].set(h0_i)
                 h0nc = h0nc.at[int(i)].set(h0nc_i)
-        self.state = self.state.replace(h0=h0, h0nc=h0nc)
+            # omega tracks tile_length edits (dispersion ignores the other
+            # spectrum params); one host plane per dirty cascade
+            omega = omega.at[idxs].set(
+                generate_omega(self.config, self.params, idxs))
+        self.state = self.state.replace(h0=h0, h0nc=h0nc, omega=omega)
         self._dirty[:] = False
 
     # --- per-frame driving (water.gd:75-82 scheduler semantics) ---

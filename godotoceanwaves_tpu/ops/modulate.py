@@ -33,12 +33,19 @@ def modulate(
     time,
     g: float = spectra.G,
     y_offset: int | jax.Array = 0,
+    omega: jax.Array | None = None,
 ) -> jax.Array:
     """Returns the 4 packed complex layers, shape (4, rows, N) complex64.
 
     `y_offset` is the global y index of the block's first row — 0 for a full
     map, the shard offset for a row-sharded block (k-grids are evaluated at
     global texel indices, so sharding changes nothing numerically).
+
+    `omega` is an optional precomputed (rows, N) fp32 dispersion plane
+    (spectra.dispersion_grid_host); None recomputes it in-graph — fine on
+    CPU, but TPU tanh's ~600-ulp error times the t~120 s phase base costs
+    7e-4 map RMS (scripts/probe_dispersion_ulp.py), so production state
+    carries the host-exact plane (OceanState.omega).
     """
     rows, n = h0.shape[-2], h0.shape[-1]
     idx = jnp.arange(n, dtype=jnp.float32) - jnp.float32(n) * 0.5
@@ -51,7 +58,8 @@ def modulate(
     kuy = ky / k
 
     # --- wave spectrum modulation (glsl:62-69) ---
-    phase = spectra.deep_dispersion(k, depth, g) * time
+    w = spectra.deep_dispersion(k, depth, g) if omega is None else omega
+    phase = w * time
     modulation = jax.lax.complex(jnp.cos(phase), jnp.sin(phase))
     h = h0 * modulation + h0nc * jnp.conj(modulation)
     ih = 1j * h  # the shader's h_inv = (-h.y, h.x)
@@ -82,8 +90,13 @@ def modulate_planes(
     time,
     g: float = spectra.G,
     y_offset: int | jax.Array = 0,
+    omega: jax.Array | None = None,
 ) -> jax.Array:
     """Plane-pair (complex-free) form of `modulate`: (4, 2, rows, N) float32.
+
+    `omega`: optional precomputed (rows, N) fp32 dispersion plane — see
+    `modulate` (None = in-graph dispersion; production passes the host-exact
+    OceanState.omega plane to dodge TPU tanh's ulp error).
 
     Identical math to the complex version with the packed layers reduced to
     closed real forms (derived from spectrum_modulate.glsl:71-89):
@@ -105,7 +118,8 @@ def modulate_planes(
     kux = kx / k
     kuy = ky / k
 
-    phase = spectra.deep_dispersion(k, depth, g) * time
+    w = spectra.deep_dispersion(k, depth, g) if omega is None else omega
+    phase = w * time
     c = jnp.cos(phase)
     s = jnp.sin(phase)
     h0r, h0i = h0[0], h0[1]

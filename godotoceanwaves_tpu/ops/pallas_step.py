@@ -114,10 +114,10 @@ def _sigma_transpose_into(src_ref, dst_ref, q: int, n: int):
 
 
 def _step_kernel(scal_ref, wt_ref, radix_ref, t4l_ref,
-                 h0_ref, h0nc_ref, foam_ref,
+                 h0_ref, h0nc_ref, omega_ref, foam_ref,
                  disp_ref, norm_ref, foam_out_ref,
                  h_scr, a_scr, b_scr, k1_scr, k2_scr, k3_scr, foam_scr,
-                 *, n: int, depth: float, g: float, map_dtype,
+                 *, n: int, map_dtype,
                  num_frames: int = 1, frames_per_program: int = 1):
     multi = num_frames > 1
     if multi:
@@ -133,18 +133,18 @@ def _step_kernel(scal_ref, wt_ref, radix_ref, t4l_ref,
             foam_scr[...] = foam_ref[0]
     for fi in range(frames_per_program):
         _one_frame(scal_ref, wt_ref, radix_ref, t4l_ref,
-                   h0_ref, h0nc_ref, foam_ref,
+                   h0_ref, h0nc_ref, omega_ref, foam_ref,
                    disp_ref, norm_ref, foam_out_ref,
                    h_scr, a_scr, b_scr, k1_scr, k2_scr, k3_scr, foam_scr,
-                   n=n, depth=depth, g=g, map_dtype=map_dtype,
+                   n=n, map_dtype=map_dtype,
                    multi=multi, frames_per_program=frames_per_program, fi=fi)
 
 
 def _one_frame(scal_ref, wt_ref, radix_ref, t4l_ref,
-               h0_ref, h0nc_ref, foam_ref,
+               h0_ref, h0nc_ref, omega_ref, foam_ref,
                disp_ref, norm_ref, foam_out_ref,
                h_scr, a_scr, b_scr, k1_scr, k2_scr, k3_scr, foam_scr,
-               *, n: int, depth: float, g: float, map_dtype,
+               *, n: int, map_dtype,
                multi: bool, frames_per_program: int, fi: int):
     q = n // LANES
     nt = n // LANES
@@ -168,10 +168,12 @@ def _one_frame(scal_ref, wt_ref, radix_ref, t4l_ref,
 
     # --- modulation: h(k, t) tiles, computed once (spectrum_modulate.glsl:62-68)
     # Static loop: fori_loop + dynamic offsets measured ~0.35 ms/frame slower.
+    # omega is the host-precomputed dispersion plane (OceanState.omega) —
+    # in-kernel sqrt(g k tanh(k d)) costs 7e-4 map RMS via TPU tanh's ulp
+    # error x the t~120 s phase base (scripts/probe_dispersion_ulp.py).
     for rt in range(nt):
         ds = slice(rt * LANES, (rt + 1) * LANES)
-        _, _, k = _k_tiles(n, rt, lx, ly)
-        phase = jnp.sqrt(jnp.float32(g) * k * jnp.tanh(k * jnp.float32(depth))) * t
+        phase = omega_ref[0, ds, :] * t
         c = jnp.cos(phase)
         s = jnp.sin(phase)
         h0r = h0_ref[0, 0, ds, :]
@@ -260,8 +262,8 @@ def _default_frames_per_program(num_frames: int, n: int, map_dtype) -> int:
     return min(f, num_frames)
 
 
-def _fused_call(h0, h0nc, foam, scalars, *, num_frames: int, depth: float,
-                g: float, map_dtype, frames_per_program: int | None = None):
+def _fused_call(h0, h0nc, omega, foam, scalars, *, num_frames: int,
+                map_dtype, frames_per_program: int | None = None):
     if map_dtype == jnp.float16:
         # Mosaic on this backend cannot store f16 from a kernel (docs/PERF.md
         # "fp16 map stores"): run the kernel at fp32 and cast at the output.
@@ -270,8 +272,8 @@ def _fused_call(h0, h0nc, foam, scalars, *, num_frames: int, depth: float,
         # pin compares against — at the cost of one extra HBM pass over the
         # maps (~0.1 ms at 4x1024^2).
         disp, norm, foam_out = _fused_call(
-            h0, h0nc, foam, scalars, num_frames=num_frames, depth=depth,
-            g=g, map_dtype=jnp.float32, frames_per_program=frames_per_program)
+            h0, h0nc, omega, foam, scalars, num_frames=num_frames,
+            map_dtype=jnp.float32, frames_per_program=frames_per_program)
         return disp.astype(jnp.float16), norm.astype(jnp.float16), foam_out
     c, two, n, n2 = h0.shape
     assert two == 2 and n == n2 and n % LANES == 0, h0.shape
@@ -285,7 +287,7 @@ def _fused_call(h0, h0nc, foam, scalars, *, num_frames: int, depth: float,
                                for a in pf._w128(n == LANES)]))
     radix_tw, _ = pf.twiddle_inputs(n, True)
     t4l = jnp.asarray(pf._t4_lead(n, True))
-    kernel = functools.partial(_step_kernel, n=n, depth=depth, g=g,
+    kernel = functools.partial(_step_kernel, n=n,
                                map_dtype=map_dtype, num_frames=num_frames,
                                frames_per_program=fpp)
 
@@ -330,7 +332,8 @@ def _fused_call(h0, h0nc, foam, scalars, *, num_frames: int, depth: float,
             pl.BlockSpec((1, 1, NUM_SCALARS), by_cascade(2),
                          memory_space=pltpu.SMEM),
             cs(wt.shape), cs(radix_tw.shape), cs(t4l.shape),
-            grid_block1(2, n, n), grid_block1(2, n, n), grid_block1(n, n),
+            grid_block1(2, n, n), grid_block1(2, n, n),
+            grid_block1(n, n), grid_block1(n, n),
         ],
         # foam output is cascade-indexed even multi-frame: the same window is
         # rewritten each frame and flushed once, leaving the FINAL foam
@@ -354,23 +357,25 @@ def _fused_call(h0, h0nc, foam, scalars, *, num_frames: int, depth: float,
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=127 * 1024 * 1024),
-    )(scalars, wt, radix_tw, t4l, h0, h0nc, foam)
+    )(scalars, wt, radix_tw, t4l, h0, h0nc, omega, foam)
 
 
-def fused_cascade_step(h0, h0nc, foam, scalars, *, depth: float,
-                       g: float = G_DEFAULT, map_dtype=jnp.bfloat16):
+def fused_cascade_step(h0, h0nc, omega, foam, scalars, *,
+                       map_dtype=jnp.bfloat16):
     """Run the fused step for C cascades.
 
-    h0/h0nc: (C, 2, N, N) fp32 planes; foam: (C, N, N) fp32;
+    h0/h0nc: (C, 2, N, N) fp32 planes; omega: (C, N, N) fp32 host-precomputed
+    dispersion (spectra.dispersion_grid_host — in-kernel tanh is ~600 ulp off
+    on TPU and t amplifies it); foam: (C, N, N) fp32;
     scalars: (C, 1, NUM_SCALARS) fp32 rows [t, Lx, Ly, whitecap, grow, decay, ...].
     Returns (displacement (C,3,N,N), normal (C,4,N,N), foam (C,N,N) fp32).
     """
-    return _fused_call(h0, h0nc, foam, scalars, num_frames=1,
-                       depth=depth, g=g, map_dtype=map_dtype)
+    return _fused_call(h0, h0nc, omega, foam, scalars, num_frames=1,
+                       map_dtype=map_dtype)
 
 
-def fused_cascade_multi_step(h0, h0nc, foam, scalars, *, num_frames: int,
-                             depth: float, g: float = G_DEFAULT,
+def fused_cascade_multi_step(h0, h0nc, omega, foam, scalars, *,
+                             num_frames: int,
                              map_dtype=jnp.bfloat16,
                              frames_per_program: int | None = None):
     """K frames per kernel invocation, one grid program per (cascade, frame).
@@ -385,8 +390,8 @@ def fused_cascade_multi_step(h0, h0nc, foam, scalars, *, num_frames: int,
     every frame's maps ARE written to HBM (full production semantics — a
     consumer can stream each frame), only foam keeps just the final state.
     """
-    return _fused_call(h0, h0nc, foam, scalars, num_frames=num_frames,
-                       depth=depth, g=g, map_dtype=map_dtype,
+    return _fused_call(h0, h0nc, omega, foam, scalars, num_frames=num_frames,
+                       map_dtype=map_dtype,
                        frames_per_program=frames_per_program)
 
 

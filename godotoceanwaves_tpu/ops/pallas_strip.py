@@ -54,8 +54,7 @@ from .pallas_step import (LANES, NUM_SCALARS, S_TIME, S_LX, S_LY, S_WHITECAP,
 
 
 def _pass1_kernel(scal_ref, wt_ref, radix_ref, t4l_ref,
-                  h0_ref, h0nc_ref, sigb_ref, *, n: int, depth: float,
-                  g: float):
+                  h0_ref, h0nc_ref, omega_ref, sigb_ref, *, n: int):
     """Modulate one 128-row tile and run each layer's first FFT pass."""
     q = n // LANES
     t = scal_ref[0, 0, S_TIME]
@@ -67,7 +66,10 @@ def _pass1_kernel(scal_ref, wt_ref, radix_ref, t4l_ref,
 
     rt = pl.program_id(1)
     kx, ky, k = _k_tiles(n, rt, lx, ly)
-    phase = jnp.sqrt(jnp.float32(g) * k * jnp.tanh(k * jnp.float32(depth))) * t
+    # host-precomputed dispersion plane (OceanState.omega) — in-kernel
+    # sqrt(g k tanh(k d)) pays TPU tanh's ~600-ulp error, amplified by the
+    # t~120 s phase base (scripts/probe_dispersion_ulp.py)
+    phase = omega_ref[0] * t
     c = jnp.cos(phase)
     s = jnp.sin(phase)
     h0r = h0_ref[0, 0]
@@ -129,13 +131,14 @@ def _pass2_kernel(scal_ref, wt_ref, radix_ref, t4l_ref,
     foam_out_ref[0] = foam
 
 
-def strip_cascade_step(h0, h0nc, foam, scalars, *, depth: float,
-                       g: float = 9.81, map_dtype=jnp.bfloat16,
+def strip_cascade_step(h0, h0nc, omega, foam, scalars, *,
+                       map_dtype=jnp.bfloat16,
                        buffer_count: int | None = None):
     """Full fused-semantics step via the two strip kernels.
 
-    h0/h0nc: (C, 2, N, N) fp32 planes; foam: (C, N, N) fp32; scalars as
-    pallas_step.pack_scalars. Returns (displacement (C,3,N,N) map_dtype,
+    h0/h0nc: (C, 2, N, N) fp32 planes; omega: (C, N, N) fp32 host-precomputed
+    dispersion (spectra.dispersion_grid_host); foam: (C, N, N) fp32; scalars
+    as pallas_step.pack_scalars. Returns (displacement (C,3,N,N) map_dtype,
     normal (C,4,N,N) map_dtype, foam (C,N,N) fp32). Output is texel-identical
     (to fp32 rounding) with the staged planes path and the monolithic fused
     kernel.
@@ -151,7 +154,7 @@ def strip_cascade_step(h0, h0nc, foam, scalars, *, depth: float,
         # run at fp32, cast at the output — same rounding as an in-kernel
         # f16 store and as the staged path's unpack-time cast.
         disp, norm, foam_out = strip_cascade_step(
-            h0, h0nc, foam, scalars, depth=depth, g=g,
+            h0, h0nc, omega, foam, scalars,
             map_dtype=jnp.float32, buffer_count=buffer_count)
         return disp.astype(jnp.float16), norm.astype(jnp.float16), foam_out
     c, two, n, n2 = h0.shape
@@ -183,7 +186,7 @@ def strip_cascade_step(h0, h0nc, foam, scalars, *, depth: float,
     buffered = dict(pipeline_mode=pl.Buffered(buffer_count=buffer_count))
 
     sigb = pl.pallas_call(
-        functools.partial(_pass1_kernel, n=n, depth=depth, g=g),
+        functools.partial(_pass1_kernel, n=n),
         grid=(c, nt),
         in_specs=[
             pl.BlockSpec((1, 1, NUM_SCALARS), lambda i, j: (i, 0, 0),
@@ -193,6 +196,8 @@ def strip_cascade_step(h0, h0nc, foam, scalars, *, depth: float,
                          memory_space=pltpu.VMEM, **buffered),
             pl.BlockSpec((1, 2, LANES, n), lambda i, j: (i, 0, j, 0),
                          memory_space=pltpu.VMEM, **buffered),
+            pl.BlockSpec((1, LANES, n), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM, **buffered),
         ],
         out_specs=pl.BlockSpec((1, 4, 2, 1, nt, LANES, LANES),
                                lambda i, j: (i, 0, 0, j, 0, 0, 0),
@@ -201,7 +206,7 @@ def strip_cascade_step(h0, h0nc, foam, scalars, *, depth: float,
                                        jnp.float32),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=127 * 1024 * 1024),
-    )(scalars, wt, radix_tw, t4l, h0, h0nc)
+    )(scalars, wt, radix_tw, t4l, h0, h0nc, omega)
 
     return pl.pallas_call(
         functools.partial(_pass2_kernel, n=n, map_dtype=map_dtype),

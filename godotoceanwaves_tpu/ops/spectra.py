@@ -42,6 +42,40 @@ def deep_dispersion(k: jax.Array, depth: float, g: float = G) -> jax.Array:
     return jnp.sqrt(jnp.float32(g) * k * jnp.tanh(k * jnp.float32(depth)))
 
 
+def dispersion_grid_host(n: int, tile_length, depth: float, g: float = G,
+                         rows: int | None = None, y_offset: int = 0):
+    """omega(k) = sqrt(g k tanh(k d)) over the centered texel k-grid, computed
+    HOST-side in NumPy fp32 — np.ndarray (rows or n, n).
+
+    Why host, not in-kernel: TPU fp32 tanh is up to ~600 ulp off IEEE
+    (measured, scripts/probe_dispersion_ulp.py), and the per-frame phase
+    omega*t amplifies any omega error by t — at the reference's t~120 s time
+    base (water.gd:31) that alone costs 7.4e-4 map RMS vs the <=1e-4 parity
+    gate. omega depends only on (N, tile_length, depth): the reference
+    recomputes it per frame (spectrum_modulate.glsl:49-51) only because GLSL
+    has no persistent plane; TPU-natively it is initial state, precomputed
+    once next to h0 and read by the modulation kernels (the read also
+    replaces two per-texel transcendentals per frame).
+
+    Arithmetic is the exact fp32 op order of the shader transcription
+    (tests/oracle.py modulate), so the stored plane is bit-identical to the
+    parity oracle's dispersion.
+    """
+    import numpy as np
+
+    rows = n if rows is None else rows
+    f32 = np.float32
+    ids_x = np.arange(n, dtype=f32)
+    ids_y = np.arange(y_offset, y_offset + rows, dtype=f32)
+    idx = np.broadcast_to(ids_x[None, :], (rows, n))
+    idy = np.broadcast_to(ids_y[:, None], (rows, n))
+    lx, ly = (f32(v) for v in np.asarray(tile_length, f32))
+    kx = (idx - f32(n) * f32(0.5)) * f32(2.0 * PI) / lx
+    ky = (idy - f32(n) * f32(0.5)) * f32(2.0 * PI) / ly
+    k = np.sqrt(kx * kx + ky * ky) + f32(1e-6)
+    return np.sqrt(f32(g) * k * np.tanh(k * f32(depth)))
+
+
 def longuet_higgins_normalization(s: jax.Array) -> jax.Array:
     """Normalization factor approximation for the Longuet-Higgins function.
 

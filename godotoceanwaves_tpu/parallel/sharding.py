@@ -121,8 +121,9 @@ def multipatch_params(base: CascadeParams, num_patches: int, seed: int = 0
 
 def _state_specs() -> OceanState:
     planespec = P(PATCH_AXIS, None, None, ROWS_AXIS, None)   # (P, C, 2, N, N)
+    rowspec = P(PATCH_AXIS, None, ROWS_AXIS, None)           # (P, C, N, N)
     return OceanState(h0=planespec, h0nc=planespec,
-                      foam=P(PATCH_AXIS, None, ROWS_AXIS, None),
+                      omega=rowspec, foam=rowspec,
                       time=P(PATCH_AXIS, None))
 
 
@@ -167,13 +168,27 @@ def make_multichip_init(mesh: Mesh, config: SimConfig):
         time = jnp.broadcast_to(
             TIME_OFFSET_BASE + TIME_OFFSET_STEP * jnp.arange(c, dtype=jnp.float32),
             (pl, c))
-        return OceanState(h0=h0, h0nc=h0nc, foam=foam, time=time)
+        # omega placeholder: the real plane is host-computed in init() below
+        # (NumPy-exact dispersion — see OceanState.omega; it cannot be
+        # generated inside shard_map without paying TPU tanh's ulp error)
+        return OceanState(h0=h0, h0nc=h0nc,
+                          omega=jnp.zeros((pl, c, rows_local, n), jnp.float32),
+                          foam=foam, time=time)
 
     def init(params):
         sharded = jax.shard_map(
             local_init, mesh=mesh, in_specs=(_params_specs(params),),
             out_specs=_state_specs(), check_vma=False)
-        return jax.jit(sharded)(params)
+        state = jax.jit(sharded)(params)
+        tiles = np.asarray(params.tile_length, np.float32)   # (P, C, 2)
+        omega = np.stack([
+            np.stack([spectra.dispersion_grid_host(n, tiles[pi, ci],
+                                                   config.depth, config.g)
+                      for ci in range(tiles.shape[1])])
+            for pi in range(tiles.shape[0])])
+        omega = jax.device_put(
+            omega, NamedSharding(mesh, P(PATCH_AXIS, None, ROWS_AXIS, None)))
+        return state.replace(omega=omega)
 
     return init
 
@@ -207,10 +222,11 @@ def make_multichip_step(mesh: Mesh, config: SimConfig):
         y0 = jax.lax.axis_index(ROWS_AXIS) * rows_local
         t_new = state.time + dt
 
-        def per_cascade(h0, h0nc, foam, t, p):
+        def per_cascade(h0, h0nc, omega, foam, t, p):
             grow, decay = _foam_rates(p, dt)
             layers = modulate_ops.modulate_planes(
-                h0, h0nc, p.tile_length, config.depth, t, config.g, y_offset=y0)
+                h0, h0nc, p.tile_length, config.depth, t, config.g,
+                y_offset=y0, omega=omega)
             if rows_dev == 1:
                 fields = fft.ifft2_packed_planes(layers, impl=impl, fold_sign=True)
             else:
@@ -221,8 +237,8 @@ def make_multichip_step(mesh: Mesh, config: SimConfig):
                 pre_shifted=True, map_dtype=map_dtype)
 
         disp, normal, foam = jax.vmap(jax.vmap(per_cascade))(
-            state.h0, state.h0nc, state.foam, t_new, params)
-        new_state = OceanState(h0=state.h0, h0nc=state.h0nc, foam=foam, time=t_new)
+            state.h0, state.h0nc, state.omega, state.foam, t_new, params)
+        new_state = state.replace(foam=foam, time=t_new)
         return new_state, OceanMaps(displacement=disp, normal=normal)
 
     def step(state, params, dt):

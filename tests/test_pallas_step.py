@@ -32,8 +32,8 @@ def test_fused_step_matches_staged_pipeline(n, rms, monkeypatch):
     scal = pallas_step.pack_scalars(t_new, params.tile_length,
                                     params.whitecap, grow, decay)
     disp, norm, foam = pallas_step.fused_cascade_step(
-        state.h0, state.h0nc, state.foam, scal,
-        depth=cfg.depth, g=cfg.g, map_dtype=jnp.float32)
+        state.h0, state.h0nc, state.omega, state.foam, scal,
+        map_dtype=jnp.float32)
 
     for got, want in [(disp, ref_maps.displacement), (norm, ref_maps.normal),
                       (foam, ref_state.foam)]:
@@ -65,15 +65,15 @@ def test_fused_multi_step_matches_repeated_single(rms, monkeypatch, fpp):
         scal = pallas_step.pack_scalars(
             state.time + k * dt, params.tile_length, params.whitecap, grow, decay)
         d, nm, foam = pallas_step.fused_cascade_step(
-            state.h0, state.h0nc, foam, scal,
-            depth=cfg.depth, g=cfg.g, map_dtype=jnp.float32)
+            state.h0, state.h0nc, state.omega, foam, scal,
+            map_dtype=jnp.float32)
         singles.append((d, nm))
 
     scal = pallas_step.pack_scalars(
         state.time + dt, params.tile_length, params.whitecap, grow, decay, dt=dt)
     disp, norm, foam_multi = pallas_step.fused_cascade_multi_step(
-        state.h0, state.h0nc, foam0, scal, num_frames=K,
-        depth=cfg.depth, g=cfg.g, map_dtype=jnp.float32,
+        state.h0, state.h0nc, state.omega, foam0, scal, num_frames=K,
+        map_dtype=jnp.float32,
         frames_per_program=fpp)
 
     assert disp.shape == (3, K, 3, n, n) and norm.shape == (3, K, 4, n, n)

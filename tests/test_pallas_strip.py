@@ -39,8 +39,8 @@ def test_strip_step_matches_staged_pipeline(n, bufs, rms, monkeypatch):
     scal = pallas_step.pack_scalars(t_new, params.tile_length,
                                     params.whitecap, grow, decay)
     disp, norm, foam = pallas_strip.strip_cascade_step(
-        state.h0, state.h0nc, state.foam, scal,
-        depth=cfg.depth, g=cfg.g, map_dtype=jnp.float32,
+        state.h0, state.h0nc, state.omega, state.foam, scal,
+        map_dtype=jnp.float32,
         buffer_count=bufs)
 
     for got, want in [(disp, ref_maps.displacement), (norm, ref_maps.normal),
@@ -113,8 +113,8 @@ def test_strip_step_float16_maps(rms, monkeypatch):
     scal = pallas_step.pack_scalars(state.time + 0.07, params.tile_length,
                                     params.whitecap, grow, decay)
     d_strip, n_strip, foam_strip = pallas_strip.strip_cascade_step(
-        state.h0, state.h0nc, state.foam, scal,
-        depth=cfg_f.depth, g=cfg_f.g, map_dtype=jnp.float16)
+        state.h0, state.h0nc, state.omega, state.foam, scal,
+        map_dtype=jnp.float16)
     assert d_strip.dtype == jnp.float16 and n_strip.dtype == jnp.float16
 
     cfg_s = SimConfig(map_size=n, fft_impl="fourstep", map_dtype="float16",

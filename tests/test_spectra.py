@@ -83,3 +83,45 @@ def test_negate_wavenumber_is_mod_neg_index():
     for y in range(n):
         for x in range(n):
             assert got[y, x] == a[(-y) % n, (-x) % n]
+
+
+def test_dispersion_grid_host_is_oracle_bit_exact():
+    """OceanState.omega parity fix: the host-side dispersion plane must be
+    BIT-identical to the oracle's fp32 arithmetic (oracle.modulate's
+    k-grid + dispersion). Rationale: TPU tanh is ~600 ulp off IEEE and the
+    phase omega*t amplifies that by the t~120 s time base into 7.4e-4 map
+    RMS (measured, scripts/probe_dispersion_ulp.py) — so omega is never
+    computed on device in production."""
+    n, tile, depth = 96, (88.0, 88.0), DEPTH
+    got = spectra.dispersion_grid_host(n, tile, depth)
+    ids = np.arange(n, dtype=np.float32)
+    idx = np.broadcast_to(ids[None, :], (n, n))
+    idy = np.broadcast_to(ids[:, None], (n, n))
+    kx = (idx - np.float32(n) * np.float32(0.5)) * np.float32(2.0 * oracle.PI) / np.float32(tile[0])
+    ky = (idy - np.float32(n) * np.float32(0.5)) * np.float32(2.0 * oracle.PI) / np.float32(tile[1])
+    k = np.sqrt(kx * kx + ky * ky) + np.float32(1e-6)
+    ref = np.sqrt(oracle.G * k * np.tanh(k * np.float32(depth)))
+    assert got.dtype == np.float32
+    assert np.array_equal(got, ref)
+    # row-banded form (sharded shards evaluate global texel indices)
+    band = spectra.dispersion_grid_host(n, tile, depth, rows=32, y_offset=32)
+    assert np.array_equal(band, ref[32:64])
+
+
+def test_state_omega_feeds_modulation():
+    """init_state's omega plane is consumed by the step: zeroing it must
+    change the maps (freezes the phase), proving the kernels read the
+    precomputed plane rather than recomputing dispersion in-graph."""
+    import jax
+    from godotoceanwaves_tpu import SimConfig, default_cascades, init_state
+    from godotoceanwaves_tpu.models.ocean import step_impl
+
+    cfg = SimConfig(map_size=64, map_dtype="float32")
+    params = default_cascades()
+    state = init_state(cfg, params)
+    assert state.omega.shape == (3, 64, 64)
+    _, maps_a = step_impl(cfg, state, params, 0.1)
+    zeroed = state.replace(omega=jnp.zeros_like(state.omega))
+    _, maps_b = step_impl(cfg, zeroed, params, 0.1)
+    assert not np.allclose(np.asarray(maps_a.displacement),
+                           np.asarray(maps_b.displacement))
