@@ -208,6 +208,13 @@ def bench_config5() -> dict:
         return jax.tree.map(
             lambda x: x[..., ::2, ::2].astype(jnp.bfloat16), m)
 
+    # warm the decimation chain OUTSIDE the timed window: the eager
+    # slice+cast compiles on first call (~seconds), which at n_stream=3
+    # otherwise dominates the leg (measured: preview read 0.105 fps while
+    # the full-res leg it should beat read 0.155)
+    m0 = step_preview()
+    float(jnp.sum(m0.displacement[:, :, 0, :].astype(jnp.float32)))
+
     preview = MapStreamer(step_preview)
     pv_bytes = 0
     t0 = time.perf_counter()
@@ -233,9 +240,13 @@ def _config5_subprocess() -> None:
 def bench_render() -> dict:
     """Displaced-geometry render (no reference baseline — the capability the
     reference delivers via GPU rasterization, here an array renderer):
-    640x360, "high" clipmap, 3 default cascades at 1024^2, viewer schedule
-    (24 bracket + 2x8 refine samples), screen-space gradient LOD. Chained
-    via a scalar folded into the camera pose (docs/PERF.md protocol)."""
+    640x360, "high" clipmap, 3 default cascades at 1024^2, the round-4
+    TUNED interactive defaults (screen-space gradient LOD + shade_res=2
+    half-res taps + two-level march bracket_res=128 + 2-channel
+    invert_res=256 UV inversion; knob sweep @ docs/PERF.md "round-4
+    structural knobs": 15.5 ms vs the 31 ms quality baseline, with the
+    shade_res=3 performance tier at 9.7 ms). Chained via a scalar folded
+    into the camera pose."""
     from godotoceanwaves_tpu import Ocean
     from godotoceanwaves_tpu.models import geometry
 
@@ -248,7 +259,8 @@ def bench_render() -> dict:
     def frame(eps):
         img = geometry.render_ocean_geometry(
             maps, scales, quality="high", width=640, height=360,
-            camera_pos=cam0 + eps * 1e-6, march_steps=24, bisect_steps=6,
+            camera_pos=cam0 + eps * 1e-6, march_steps=32, bisect_steps=6,
+            shade_res=2, bracket_res=128, invert_res=256,
             environment=True, sampler="mxu")
         return jnp.sum(img)
 

@@ -319,6 +319,8 @@ def render_ocean_geometry(
     uniform_res: int = 512,
     sampler: str = "auto",      # "auto" | "mxu" | "gather" (uniform accel)
     march_res: int = 256,       # mxu march-table resolution (2 m cells)
+    bracket_res: int = 0,       # coarse table for the BRACKET march (0=off)
+    invert_res: int = 0,        # chop-only table for the UV inversion (0=off)
     march_impl: str = "auto",   # "auto" | "pallas" (fused kernel) | "xla"
     gradient_lod: bool = True,  # screen-space mip LOD for the gradient taps
     lod_bands: int = 16,        # max horizontal LOD bands (must divide H)
@@ -350,6 +352,15 @@ def render_ocean_geometry(
     (smooth) gradient field back to full resolution before the per-pixel
     shading nonlinearity; the LOD criterion sees the honest s-times-wider
     tap footprint. The march, UV inversion, and shading remain full-res.
+
+    `bracket_res=b` (0 < b < march_res) marches the BRACKET steps on a
+    b-resolution height table and refines on the full march_res table (the
+    per-sample cost is quadratic in table resolution, so b = march_res/2
+    quarters the march stage); the landed hit keeps the fine table's
+    geometry. Ignored by march_impl="pallas" (the fused kernel marches one
+    table). `invert_res=i` (0 < i < uniform_res) runs the final fragment-UV
+    chop inversion against a 2-channel (horizontal chop only) table at
+    resolution i instead of the 3-channel uniform_res grid.
 
     `rows=(offset, count)` renders only that horizontal band of the full
     frame (rays, LOD bands, and output rows all restricted to the window;
@@ -391,6 +402,23 @@ def render_ocean_geometry(
 
         def sample_h(qx, qz):
             return _mxu_sample(mheight, morigin, mcell, center_xz, qx, qz)
+
+        if bracket_res and bracket_res < march_res:
+            # two-level march: BRACKET steps sample a coarser table (the
+            # per-sample contraction is P x G^2 — FLOP-bound, so a half-res
+            # table quarters the march cost); REFINEMENT and the final hit
+            # stay on the fine march_res table, so the landed geometry keeps
+            # the fine table's accuracy (unlike lowering march_res, whose
+            # horizon-wide error the knob sweep measured at rms 15/255).
+            bheight = uniform_from_graded(grid, quality, bracket_res)[..., 1]
+            _, _, borigin, bcell = _uniform_resample_tables(
+                quality, bracket_res)
+
+            def sample_hb(qx, qz):
+                return _mxu_sample(bheight, borigin, bcell, center_xz,
+                                   qx, qz)
+        else:
+            sample_hb = sample_h
     elif accel == "uniform":
         ugrid = uniform_from_graded(grid, quality, uniform_res)
         _, _, origin, cell = _uniform_resample_tables(quality, uniform_res)
@@ -402,6 +430,18 @@ def render_ocean_geometry(
         def sample_h(qx, qz):
             return _uniform_sample(uheight, origin, cell, center_xz,
                                    qx, qz)[..., 0]
+
+        if bracket_res and bracket_res < uniform_res:
+            bheight = uniform_from_graded(grid, quality,
+                                          bracket_res)[..., 1:2]
+            _, _, borigin, bcell = _uniform_resample_tables(
+                quality, bracket_res)
+
+            def sample_hb(qx, qz):
+                return _uniform_sample(bheight, borigin, bcell, center_xz,
+                                       qx, qz)[..., 0]
+        else:
+            sample_hb = sample_h
     else:
         def sample(qx, qz):
             return _grid_sample(grid, coords, center_xz, qx, qz)
@@ -409,13 +449,16 @@ def render_ocean_geometry(
         def sample_h(qx, qz):
             return sample(qx, qz)[..., 1]
 
-    def height_at(x, z, iters=chop_iters):
+        sample_hb = sample_h
+
+    def height_at(x, z, iters=chop_iters, coarse=False):
         """Surface height + inverted param under world (x, z). iters=0
         samples the height channel only (4 single-channel gathers — the
         march's budget; chop shifts crests by <~2 m horizontally, which the
-        final shading-UV inversion still accounts for)."""
+        final shading-UV inversion still accounts for). coarse=True uses
+        the bracket_res table (height-only paths; no-op when disabled)."""
         if iters == 0:
-            return sample_h(x, z), (x, z)
+            return (sample_hb if coarse else sample_h)(x, z), (x, z)
         px, pz = x, z
         for _ in range(iters):
             s = sample(px, pz)
@@ -455,9 +498,10 @@ def render_ocean_geometry(
     t0 = jnp.where(marchable, t_enter, 0.0)
     t1 = jnp.where(marchable, t_end, 1.0)
 
-    def below_at(t):
+    def below_at(t, coarse=False):
         p = cam + t[..., None] * d
-        h, _ = height_at(p[..., 0], p[..., 2], iters=march_chop_iters)
+        h, _ = height_at(p[..., 0], p[..., 2], iters=march_chop_iters,
+                         coarse=coarse)
         return p[..., 1] < h
 
     # BATCHED intersection: every candidate depth is sampled in ONE
@@ -468,7 +512,7 @@ def render_ocean_geometry(
     # inside the while body; docs/PERF.md "geometry render".) Refinement is
     # batched too: subdivide the bracketing interval 8-ways per round
     # (= 3 bisection steps of precision per round).
-    def bracket(lo, hi, m, valid):
+    def bracket(lo, hi, m, valid, coarse=False):
         """First below-surface crossing among m samples of (lo, hi].
 
         Python-unrolled over samples (all still parallel in the graph — no
@@ -479,7 +523,8 @@ def render_ocean_geometry(
         for idx in range(m):
             t = lo + (idx + 1.0) * seg
             p = cam + t[..., None] * d
-            h, _ = height_at(p[..., 0], p[..., 2], iters=march_chop_iters)
+            h, _ = height_at(p[..., 0], p[..., 2], iters=march_chop_iters,
+                             coarse=coarse)
             slices.append(p[..., 1] < h)
         below = jnp.stack(slices) & valid[None]
         hit = below.any(axis=0)
@@ -507,8 +552,11 @@ def render_ocean_geometry(
             refine_rounds=max(1, bisect_steps // 3),
             interpret=jax.default_backend() != "tpu")
     else:
-        found0 = below_at(t0) & marchable   # camera already under a crest
-        found, lo, hi = bracket(t0, t1, march_steps, marchable & ~found0)
+        two_level = sample_hb is not sample_h
+        found0 = below_at(t0, coarse=two_level) & marchable
+        # found0: camera already under a crest at the window start
+        found, lo, hi = bracket(t0, t1, march_steps, marchable & ~found0,
+                                coarse=two_level)
         # found0 pixels hit AT the window start: a degenerate (t0, t0)
         # bracket is a fixed point of the refinement below (seg = 0, every
         # sub-sample re-tests t0), so the hit stays pinned at t0 instead of
@@ -518,9 +566,16 @@ def render_ocean_geometry(
         hi = jnp.where(found0, t0, hi)
         found = found | found0
         # invariant: hi is below the surface for found pixels, so each
-        # round's last sub-sample re-hits and the bracket always tightens 8x
-        for _ in range(max(1, bisect_steps // 3)):
-            _, lo, hi = bracket(lo, hi, 8, found)
+        # round's last sub-sample re-hits and the bracket always tightens 8x.
+        # Two-level: refinement runs on the FINE table; its first round
+        # re-tests the coarse bracket against the fine surface, and coarse
+        # hits the fine table refutes (no sub-sample below — the coarse
+        # cell smoothed away the crossing) demote to the far-field miss
+        # path rather than landing a phantom midpoint hit.
+        for ri in range(max(1, bisect_steps // 3)):
+            rhit, lo, hi = bracket(lo, hi, 8, found)
+            if ri == 0 and two_level:
+                found = found0 | rhit
     t_hit = 0.5 * (lo + hi)
 
     # flat far-field: rays that miss the mesh but still descend hit y=0
@@ -532,7 +587,22 @@ def render_ocean_geometry(
     t_safe = jnp.where(hit, t_hit, 1.0)
     p = cam + t_safe[..., None] * d
     # fragment UV = pre-displacement param (water.gdshader:28)
-    _, (ux, uz) = height_at(p[..., 0], p[..., 2])
+    if (invert_res and invert_res < uniform_res and chop_iters > 0
+            and accel == "uniform" and sampler == "mxu"):
+        # the fixed-point UV inversion only consumes the HORIZONTAL chop
+        # channels, which are dominated by the largest cascades (smooth at
+        # meters scale) — a 2-channel table at invert_res replaces the
+        # full 3-channel uniform_res taps (cost is quadratic in table res
+        # and linear in channels)
+        igrid = uniform_from_graded(grid, quality, invert_res)[..., ::2]
+        _, _, iorg, icel = _uniform_resample_tables(quality, invert_res)
+        ux, uz = p[..., 0], p[..., 2]
+        for _ in range(chop_iters):
+            s = _mxu_sample(igrid, iorg, icel, center_xz, ux, uz)
+            ux = ux - (s[..., 0] - p[..., 0])
+            uz = uz - (s[..., 1] - p[..., 2])
+    else:
+        _, (ux, uz) = height_at(p[..., 0], p[..., 2])
     ux = jnp.where(found, ux, p[..., 0])
     uz = jnp.where(found, uz, p[..., 2])
     uv = jnp.stack([ux, uz], axis=-1)

@@ -92,12 +92,16 @@ class SceneRenderer:
     uint8 (offline frames, ANSI cells), ``"yuv420"`` = flat uint8 planar
     Y/Cb/Cr at 1.5 B/px (half the device->host bytes; unpack with
     `yuv420_to_ycbcr`). Requires even width/height.
+
+    Extra keyword arguments (``shade_res``, ``bracket_res``, ``lod_bias``,
+    ...) forward to `render_ocean_geometry` — the displaced-geometry
+    quality/speed knobs; ignored when ``flat=True``.
     """
 
     def __init__(self, width: int, height: int, *, flat: bool = False,
                  mesh_quality: str = "high", environment: bool = True,
                  march_steps: int = 40, bisect_steps: int = 8,
-                 transfer: str = "rgb"):
+                 transfer: str = "rgb", **render_kwargs):
         if transfer not in ("rgb", "yuv420"):
             raise ValueError(f"unknown transfer format {transfer!r}")
         if transfer == "yuv420" and (width % 2 or height % 2):
@@ -119,7 +123,8 @@ class SceneRenderer:
                 maps, scales, mesh_quality, width=width, height=height,
                 camera_pos=pos, pitch_deg=pitch, yaw_deg=yaw,
                 environment=environment, march_steps=march_steps,
-                bisect_steps=bisect_steps, water_color=wc, foam_color=fc)
+                bisect_steps=bisect_steps, water_color=wc, foam_color=fc,
+                **render_kwargs)
 
         def quantize(img):
             srgb = jnp.clip(img, 0.0, 1.0) ** (1 / 2.2) * 255

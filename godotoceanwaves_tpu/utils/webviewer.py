@@ -285,7 +285,7 @@ class WebViewer:
     """Serve `ocean` interactively; `start()`/`stop()` for embedding/tests,
     `run()` to block."""
 
-    def __init__(self, ocean, fps: float = 12.0, width: int = 640,
+    def __init__(self, ocean, fps: float = 20.0, width: int = 640,
                  height: int = 360, environment: bool = True,
                  mesh_quality: str = "low", flat: bool = False,
                  spray: bool = False, spray_particles: int = 32768,
@@ -358,8 +358,11 @@ class WebViewer:
         relay link is ~5 MB/s; uint8 is 12x smaller than fp32)."""
         from ..models.viewport import SceneRenderer
 
-        # interactive tuning: 24+2x8 samples, ~112 ms/frame on the
-        # v5e at 640x360 with the MXU sampler (docs/PERF.md). The viewer
+        # interactive tuning (round-4 knob sweep, docs/PERF.md): 32 coarse
+        # bracket + 2x8 fine refine samples, shade_res=2 half-res gradient
+        # taps, 2-channel UV inversion — 15.5 ms/frame on the v5e at
+        # 640x360 (vs 31 ms at the offline-quality defaults; shade_res=3
+        # measures 9.7 ms but its 3x3 shading blocks are visible). The viewer
         # loop is transfer-bound through the relay, so frames cross as
         # device-subsampled YUV420 (1.5 B/px, half of RGB) — visually free
         # because the JPEG these bytes become is 4:2:0 anyway. "auto"
@@ -374,7 +377,8 @@ class WebViewer:
         self._viewport = SceneRenderer(
             self.width, self.height, flat=self.flat,
             mesh_quality=self.mesh_quality, environment=self.environment,
-            march_steps=24, bisect_steps=6, transfer=transfer)
+            march_steps=32, bisect_steps=6, shade_res=2, bracket_res=128,
+            invert_res=256, transfer=transfer)
 
     # --- camera / host-side edits (instant; _cam_lock) --------------------
     def _apply_camera(self, name: str, value) -> None:

@@ -81,13 +81,41 @@ def main():
                                         bisect_steps=6, march_res=128)),
         ("shade_res 3 24/6", dict(shade_res=3, march_steps=24,
                                   bisect_steps=6)),
+        # round-4: two-level march — bracket on a coarse table, refine on
+        # the fine one (march cost is quadratic in table res; landed hit
+        # keeps march_res geometry, unlike lowering march_res itself)
+        ("bracket 128", dict(bracket_res=128)),
+        ("tuned shade2 24/6 br128", dict(shade_res=2, march_steps=24,
+                                         bisect_steps=6, bracket_res=128)),
+        ("tuned+lb1.5", dict(shade_res=2, march_steps=24, bisect_steps=6,
+                             bracket_res=128, lod_bias=1.5)),
+        ("tuned br64", dict(shade_res=2, march_steps=24, bisect_steps=6,
+                            bracket_res=64)),
+        # round-4 second pass: shade_res 3 frontier + cheap coarse brackets
+        # (bracket samples cost 1/4 at br128, so march_steps can RISE to
+        # buy back silhouette quality while staying under the 16 ms bar)
+        ("shade3 24/6 br128", dict(shade_res=3, march_steps=24,
+                                   bisect_steps=6, bracket_res=128)),
+        ("shade3 32/6 br128", dict(shade_res=3, march_steps=32,
+                                   bisect_steps=6, bracket_res=128)),
+        ("shade3 40/6 br128", dict(shade_res=3, march_steps=40,
+                                   bisect_steps=6, bracket_res=128)),
+        # round-4 third pass: 2-channel coarse UV-inversion table
+        ("inv256", dict(invert_res=256)),
+        ("shade3 32/6 br128 inv256", dict(shade_res=3, march_steps=32,
+                                          bisect_steps=6, bracket_res=128,
+                                          invert_res=256)),
+        ("shade2 32/6 br128 inv256", dict(shade_res=2, march_steps=32,
+                                          bisect_steps=6, bracket_res=128,
+                                          invert_res=256)),
     ]
 
     # optional argv[1] substring filter (baseline always runs — it is the
     # quality yardstick); e.g. `... profile_render_knobs.py shade_res`
     if len(sys.argv) > 1:
-        pat = sys.argv[1]
-        configs = [configs[0]] + [c for c in configs[1:] if pat in c[0]]
+        pats = sys.argv[1].split(",")
+        configs = [configs[0]] + [c for c in configs[1:]
+                                  if any(p in c[0] for p in pats)]
 
     base_img = None
     for name, kw in configs:

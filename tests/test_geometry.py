@@ -355,3 +355,57 @@ def test_shade_res_close_to_dense(ocean_maps):
     sky = _sky_mask(half, pitch_deg=-14.0)
     if sky.any():
         np.testing.assert_allclose(half[sky], dense[sky], atol=1e-6)
+
+
+def test_bracket_res_two_level_march_close_and_noop(ocean_maps):
+    """bracket_res (two-level march: coarse bracket + fine refine) stays
+    visually close to the single-table march; a bracket table at or above
+    the fine resolution is the identity (no-op guard)."""
+    maps, scales = ocean_maps
+    kw = dict(width=W, height=H, light_dir=LIGHT, march_steps=16,
+              bisect_steps=5, sampler="mxu", march_res=128,
+              camera_pos=(0.0, 9.0, 0.0), pitch_deg=-14.0)
+    base = np.asarray(geometry.render_ocean_geometry(maps, scales, "low",
+                                                     **kw))
+    two = np.asarray(geometry.render_ocean_geometry(maps, scales, "low",
+                                                    bracket_res=64, **kw))
+    assert two.shape == base.shape and np.isfinite(two).all()
+    assert np.abs(two - base).mean() < 0.04
+    # refinement runs on the fine table, so most hit pixels land identically
+    assert (np.abs(two - base).max(axis=-1) < 1e-3).mean() > 0.7
+    # sky is untouched
+    sky = _sky_mask(two, pitch_deg=-14.0)
+    if sky.any():
+        np.testing.assert_allclose(two[sky], base[sky], atol=1e-6)
+    # no-op guard: a "coarse" table >= the fine res disables the two-level
+    # path entirely (bit-identical render)
+    same = np.asarray(geometry.render_ocean_geometry(maps, scales, "low",
+                                                     bracket_res=128, **kw))
+    np.testing.assert_array_equal(same, base)
+    # gather-sampler twin (CPU path) stays finite and close too
+    kw_g = dict(kw, sampler="gather")
+    bg = np.asarray(geometry.render_ocean_geometry(maps, scales, "low",
+                                                   **kw_g))
+    tg = np.asarray(geometry.render_ocean_geometry(maps, scales, "low",
+                                                   bracket_res=64, **kw_g))
+    assert np.abs(tg - bg).mean() < 0.04
+
+
+def test_invert_res_uv_table_close(ocean_maps):
+    """invert_res (2-channel coarse chop-inversion table) stays close to
+    the full-grid inversion; at uniform_res it is disabled (identity)."""
+    maps, scales = ocean_maps
+    kw = dict(width=W, height=H, light_dir=LIGHT, march_steps=16,
+              bisect_steps=5, sampler="mxu", uniform_res=128,
+              camera_pos=(0.0, 9.0, 0.0), pitch_deg=-14.0)
+    base = np.asarray(geometry.render_ocean_geometry(maps, scales, "low",
+                                                     **kw))
+    coarse = np.asarray(geometry.render_ocean_geometry(maps, scales, "low",
+                                                       invert_res=64, **kw))
+    assert coarse.shape == base.shape and np.isfinite(coarse).all()
+    # UV shifts only move texture lookups by the chop interpolation error
+    assert np.abs(coarse - base).mean() < 0.02
+    # disabled guard: invert_res >= uniform_res keeps the original path
+    same = np.asarray(geometry.render_ocean_geometry(maps, scales, "low",
+                                                     invert_res=128, **kw))
+    np.testing.assert_array_equal(same, base)
