@@ -120,7 +120,8 @@ def main() -> None:
 
     if args.web:
         from godotoceanwaves_tpu.utils.webviewer import WebViewer
-        WebViewer(ocean, fps=min(args.fps, 15.0),
+        # cap 30: the round-4 tuned render leaves the loop relay-bound
+        WebViewer(ocean, fps=min(args.fps, 30.0),
                   width=args.width, height=args.height, flat=args.flat,
                   mesh_quality=args.mesh_quality, spray=args.spray,
                   spray_particles=args.spray_particles).run(port=args.port)

@@ -26,7 +26,9 @@ from godotoceanwaves_tpu.utils.webviewer import WebViewer
 def main():
     transfer = sys.argv[1] if len(sys.argv) > 1 else "auto"
     o = Ocean(map_size=1024, map_dtype="bfloat16", updates_per_second=0)
-    v = WebViewer(o, fps=15.0, spray=True, transfer=transfer)
+    # cap 30: the round-4 tuned render (15.5 ms) leaves the loop
+    # relay-bound, not render-bound — measure the true steady state
+    v = WebViewer(o, fps=30.0, spray=True, transfer=transfer)
     port = v.start(port=0)
     print("serving on", port, flush=True)
 

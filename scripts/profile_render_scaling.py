@@ -1,13 +1,11 @@
-"""Multi-chip render projection measured on ONE chip.
+"""Tuned-render resolution scaling on one chip: 640x360 / 960x540 / 1280x720.
 
-parallel.render_geometry_sharded shards pixel rows over the mesh with ZERO
-cross-device traffic: each device runs render_ocean_geometry(rows=(off, h/D))
-on replicated maps. So a D-chip frame time is (to ICI-assembly epsilon) the
-MAX of the D band times — measurable honestly on the single tunneled chip by
-timing each band's jitted window render. Prints per-band times and the
-projected D-chip frame for D in {2, 4, 8}.
+The fixed stages (vertex resample, tables, LOD pyramid) are resolution-
+independent, so per-pixel cost should amortize sub-linearly; together with
+scripts/profile_render_projection.py (row-sharded multi-chip bound) this
+gives the "what resolution at 60 fps on D chips" table docs/PERF.md records.
 
-    nohup python scripts/profile_render_projection.py > /tmp/render_proj.log 2>&1 &
+    nohup python scripts/profile_render_scaling.py > /tmp/render_scaling.log 2>&1 &
 """
 from __future__ import annotations
 
@@ -27,7 +25,6 @@ from godotoceanwaves_tpu.models import geometry
 from godotoceanwaves_tpu.models.ocean import Ocean
 from godotoceanwaves_tpu.models.cascade import default_cascades
 
-W, H = 640, 360
 CAM, PITCH = (0.0, 12.0, 0.0), -12.0
 # the shipped interactive defaults (round-4 sweep, docs/PERF.md)
 KW = dict(march_steps=32, bisect_steps=6, shade_res=2, bracket_res=128,
@@ -56,23 +53,20 @@ def main():
     scales = ocean.params.map_scales()
     cam0 = jnp.array(CAM, jnp.float32)
 
-    for d_chips in (2, 4, 8):
-        band_h = H // d_chips
-        band_ms = []
-        for b in range(d_chips):
-            @jax.jit
-            def frame(eps, off=b * band_h):
-                img = geometry.render_ocean_geometry(
-                    maps, scales, quality="high", width=W, height=H,
-                    camera_pos=cam0 + jnp.tanh(eps) * 1e-6, pitch_deg=PITCH,
-                    rows=(off, band_h), **KW)
-                return jnp.sum(img) * 1e-9
+    base_px = 640 * 360
+    for w, h in ((640, 360), (960, 540), (1280, 720)):
+        @jax.jit
+        def frame(eps, w=w, h=h):
+            img = geometry.render_ocean_geometry(
+                maps, scales, quality="high", width=w, height=h,
+                camera_pos=cam0 + jnp.tanh(eps) * 1e-6, pitch_deg=PITCH,
+                **KW)
+            return jnp.sum(img) * 1e-9
 
-            band_ms.append(chained(frame))
-        worst = max(band_ms)
-        bands = " ".join(f"{m:6.2f}" for m in band_ms)
-        print(f"D={d_chips}: bands[ms] = {bands}  -> projected frame "
-              f"{worst:6.2f} ms ({1e3 / worst:5.1f} fps)", flush=True)
+        ms = chained(frame)
+        px = w * h / base_px
+        print(f"{w}x{h}: {ms:6.2f} ms ({1e3 / ms:5.1f} fps) "
+              f"[{px:.2f}x pixels]", flush=True)
 
 
 if __name__ == "__main__":
