@@ -67,6 +67,12 @@ def main() -> None:
                          "with silhouettes/parallax (water.gdshader:29-38)")
     ap.add_argument("--mesh-quality", choices=("low", "high"), default="high",
                     help="clipmap mesh grading (water.gd:43-46)")
+    ap.add_argument("--render-tier",
+                    choices=("quality", "interactive", "performance"),
+                    default=None,
+                    help="render knob preset (models/viewport.RENDER_TIERS; "
+                         "offline frames default to full quality, the web "
+                         "viewer to 'interactive')")
     ap.add_argument("--camera", type=str, default="0,12,0",
                     help="camera position X,Y,Z (offline frames)")
     ap.add_argument("--pitch", type=float, default=-12.0,
@@ -124,7 +130,9 @@ def main() -> None:
         WebViewer(ocean, fps=min(args.fps, 30.0),
                   width=args.width, height=args.height, flat=args.flat,
                   mesh_quality=args.mesh_quality, spray=args.spray,
-                  spray_particles=args.spray_particles).run(port=args.port)
+                  spray_particles=args.spray_particles,
+                  render_tier=args.render_tier or "interactive"
+                  ).run(port=args.port)
         return
 
     stats = FrameStats()
@@ -145,9 +153,11 @@ def main() -> None:
     from godotoceanwaves_tpu.models.viewport import (FramePipeline,
                                                      SceneRenderer,
                                                      SpraySession)
+    from godotoceanwaves_tpu.models.viewport import RENDER_TIERS
     viewport = SceneRenderer(args.width, args.height, flat=args.flat,
                              mesh_quality=args.mesh_quality,
-                             environment=args.environment)
+                             environment=args.environment,
+                             **RENDER_TIERS[args.render_tier or "quality"])
     spray_session = SpraySession(num_particles=args.spray_particles) \
         if args.spray else None
 

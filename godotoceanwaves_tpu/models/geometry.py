@@ -249,26 +249,32 @@ def _pick_nbands(height: int, target: int = 16) -> int:
 def _upsample_weights(n: int, stride: int):
     """Static decimation indices + linear upsample matrix for one axis.
 
-    Samples at 0, stride, 2*stride, ... plus the last index, so the
-    interpolation never extrapolates. Returns (indices (m,), weights
-    (n, m) fp32) with 2-sparse rows: out = weights @ values_at_indices.
-    Used by render_ocean_geometry's shade_res: gradients are smooth
-    fields, so tapping them on a decimated screen grid and linearly
-    upsampling is the classic half-res lighting-buffer trade."""
-    pos = list(range(0, n, stride))
-    if pos[-1] != n - 1:
-        pos.append(n - 1)
-    pos_a = np.asarray(pos, np.int64)
-    w = np.zeros((n, len(pos)), np.float32)
+    ~n/stride samples spread evenly from 0 to n-1 (both ends included, so
+    the interpolation never extrapolates), with the count rounded UP to a
+    multiple of 16: the LOD's horizontal banding needs a divisor of the
+    decimated row count, and the naive every-stride-th count n//stride+1
+    is frequently PRIME (181 at 360/2, 271 at 540/2) — which silently
+    disabled banding (nb=1, every tap at mip level 0; measured as the
+    super-linear 960x540 scaling anomaly, docs/PERF.md). Returns
+    (indices (m,), weights (n, m) fp32) with 2-sparse rows:
+    out = weights @ values_at_indices. Used by render_ocean_geometry's
+    shade_res: gradients are smooth fields, so tapping them on a decimated
+    screen grid and linearly upsampling is the classic half-res
+    lighting-buffer trade."""
+    m = max(2, min(n, -(-n // stride)))
+    if m < n:
+        m = min(n, -(-m // 16) * 16)
+    pos_a = np.unique(np.round(np.linspace(0, n - 1, m)).astype(np.int64))
+    w = np.zeros((n, len(pos_a)), np.float32)
     seg = np.clip(np.searchsorted(pos_a, np.arange(n), side="right") - 1,
-                  0, len(pos) - 2)
+                  0, len(pos_a) - 2)
     lo, hi = pos_a[seg], pos_a[seg + 1]
     frac = (np.arange(n) - lo) / np.maximum(hi - lo, 1)
     w[np.arange(n), seg] = 1.0 - frac
     w[np.arange(n), seg + 1] = frac
     # exact at sampled rows (incl. the appended last row)
     w[pos_a] = 0.0
-    w[pos_a, np.arange(len(pos))] = 1.0
+    w[pos_a, np.arange(len(pos_a))] = 1.0
     return pos_a, w
 
 

@@ -26,6 +26,23 @@ import jax.numpy as jnp
 from . import geometry, shading, spray
 
 
+# --- render quality tiers ---------------------------------------------------
+# Measured on the v5e at 640x360, viewer pose (docs/PERF.md "round-4
+# structural knobs"): quality 31 ms (the render_ocean_geometry defaults —
+# offline/GIF fidelity), interactive 15.5 ms (shipped viewer default;
+# visually close to quality in the hardware side-by-side), performance
+# 9.7 ms (visible 3x3 shading blocks; for high-res/low-chip-count budgets).
+# Keys are render_ocean_geometry kwargs; all static (a tier switch retraces,
+# which the web viewer does asynchronously like a resize).
+RENDER_TIERS: dict[str, dict] = {
+    "quality": dict(march_steps=40, bisect_steps=8),
+    "interactive": dict(march_steps=32, bisect_steps=6, shade_res=2,
+                        bracket_res=128, invert_res=256),
+    "performance": dict(march_steps=32, bisect_steps=6, shade_res=3,
+                        bracket_res=128, invert_res=256),
+}
+
+
 # --- wire formats ----------------------------------------------------------
 # BT.601 full-range RGB<->YCbCr (the JPEG convention, ITU-T T.871). The web
 # viewer JPEG-encodes every frame at 4:2:0 anyway, so doing the chroma

@@ -102,6 +102,9 @@ _PAGE = """<!doctype html>
  <div class="row"><label>map size</label><select id="mapsize"></select></div>
  <div class="row"><label>mesh quality</label><select id="meshq">
    <option>low</option><option>high</option></select></div>
+ <div class="row"><label>render tier</label><select id="rtier">
+   <option>quality</option><option>interactive</option>
+   <option>performance</option></select></div>
  <div class="row"><label>spray</label><input id="spray" type="checkbox"></div>
  <div class="row"><label>updates/s</label>
    <input id="ups" type="range" min="0" max="60" step="1">
@@ -152,6 +155,7 @@ async function refreshState() {
   }
   ms.value = state.map_size;
   el('meshq').value = state.mesh_quality;
+  if (document.activeElement !== el('rtier')) el('rtier').value = state.render_tier;
   el('spray').checked = state.spray;
   el('ncasc').textContent = state.cascades.length;
   if (document.activeElement !== el('wcolor')) el('wcolor').value = hex(state.water_color);
@@ -177,6 +181,7 @@ function rgb(hexstr) {  // #rrggbb -> sRGB [0,1]
 el('wcolor').onchange = e => post({name: 'water_color', value: rgb(e.target.value)});
 el('fcolor').onchange = e => post({name: 'foam_color', value: rgb(e.target.value)});
 el('meshq').onchange = e => post({name: 'mesh_quality', value: e.target.value});
+el('rtier').onchange = e => post({name: 'render_tier', value: e.target.value});
 el('spray').onchange = e => post({name: 'spray', value: e.target.checked});
 el('addcasc').onclick = () => post({name: 'num_cascades',
                                     value: state.cascades.length + 1});
@@ -289,7 +294,7 @@ class WebViewer:
                  height: int = 360, environment: bool = True,
                  mesh_quality: str = "low", flat: bool = False,
                  spray: bool = False, spray_particles: int = 32768,
-                 transfer: str = "auto"):
+                 transfer: str = "auto", render_tier: str = "interactive"):
         self.ocean = ocean
         self.environment = environment
         self.fps = fps
@@ -303,6 +308,10 @@ class WebViewer:
         # the reference's fly camera (camera.gd); pose is traced render args
         self.camera = FlyCamera()
         self.mesh_quality = mesh_quality
+        from ..models.viewport import RENDER_TIERS
+        if render_tier not in RENDER_TIERS:
+            raise ValueError(f"unknown render_tier {render_tier!r}")
+        self.render_tier = render_tier
         # spray system (C13, main.tscn:133-140): persistent state advanced
         # in the sim thread, composited before encode; the session survives
         # renderer rebuilds (mesh-quality changes keep the respawn cycles)
@@ -348,6 +357,10 @@ class WebViewer:
         # serving, then swap under _ocean_lock.
         self._resizing = False
         self._resize_pending: int | None = None
+        # async render-tier swap state (same pattern as resize: a tier
+        # change retraces the renderer, so warm in the background and swap)
+        self._retiering = False
+        self._retier_pending: str | None = None
         self._build_renderers()
 
     def _build_renderers(self) -> None:
@@ -358,27 +371,29 @@ class WebViewer:
         relay link is ~5 MB/s; uint8 is 12x smaller than fp32)."""
         from ..models.viewport import SceneRenderer
 
-        # interactive tuning (round-4 knob sweep, docs/PERF.md): 32 coarse
-        # bracket + 2x8 fine refine samples, shade_res=2 half-res gradient
-        # taps, 2-channel UV inversion — 15.5 ms/frame on the v5e at
-        # 640x360 (vs 31 ms at the offline-quality defaults; shade_res=3
-        # measures 9.7 ms but its 3x3 shading blocks are visible). The viewer
+        # render knobs come from the selected RENDER_TIERS entry
+        # ("interactive" default: 32 coarse bracket + 2x8 fine refine
+        # samples, shade_res=2 half-res gradient taps, 2-channel UV
+        # inversion — 15.5 ms/frame on the v5e at 640x360 vs 31 ms at the
+        # offline-quality tier; docs/PERF.md round-4 sweep). The viewer
         # loop is transfer-bound through the relay, so frames cross as
         # device-subsampled YUV420 (1.5 B/px, half of RGB) — visually free
         # because the JPEG these bytes become is 4:2:0 anyway. "auto"
         # falls back to rgb on odd frame dims; forcing "rgb" exists for
         # wire-format A/B measurement (scripts/probe_webviewer.py).
-        if self.transfer == "auto":
-            transfer = ("yuv420"
-                        if self.width % 2 == 0 and self.height % 2 == 0
-                        else "rgb")
-        else:
-            transfer = self.transfer
+        from ..models.viewport import RENDER_TIERS
         self._viewport = SceneRenderer(
             self.width, self.height, flat=self.flat,
             mesh_quality=self.mesh_quality, environment=self.environment,
-            march_steps=32, bisect_steps=6, shade_res=2, bracket_res=128,
-            invert_res=256, transfer=transfer)
+            transfer=self._resolved_transfer(),
+            **RENDER_TIERS[self.render_tier])
+
+    def _resolved_transfer(self) -> str:
+        if self.transfer == "auto":
+            return ("yuv420"
+                    if self.width % 2 == 0 and self.height % 2 == 0
+                    else "rgb")
+        return self.transfer
 
     # --- camera / host-side edits (instant; _cam_lock) --------------------
     def _apply_camera(self, name: str, value) -> None:
@@ -504,6 +519,7 @@ class WebViewer:
             speed = float(self.camera.speed)
             spray_on = self.spray_enabled
             resizing = self._resizing
+            retiering = self._retiering
         # ambience mix law from the live stack (main.gd:39-44): total wind
         # speed from the cached snapshot — no device interaction
         from .audio import ambience_gains_db
@@ -511,7 +527,8 @@ class WebViewer:
         return {**snap, "fps": s["fps"], "ms_frame": s["ms_mean"],
                 "frame": frame_no, "camera": cam, "camera_speed": speed,
                 "spray": spray_on, "mesh_quality": self.mesh_quality,
-                "resizing": resizing,
+                "resizing": resizing, "render_tier": self.render_tier,
+                "retiering": retiering,
                 "ambience_db": list(ambience_gains_db(total_wind))}
 
     def _apply(self, req: dict) -> None:
@@ -524,6 +541,10 @@ class WebViewer:
             # Async: never stall the serving loop behind the new shape's
             # 30-300 s first compile — warm in the background, then swap.
             self._resize_async(int(value))
+            return
+        if name == "render_tier":
+            # same hazard (a tier change retraces the render), same fix
+            self._retier_async(str(value))
             return
         with self._ocean_lock:
             if name == "mesh_quality":
@@ -624,6 +645,73 @@ class WebViewer:
             snap = self._snapshot_ocean()
         with self._frame_lock:
             self._state_cache = snap
+
+    # --- async render-tier swap (panel combo over models/viewport
+    # RENDER_TIERS; a tier change retraces the jitted render — same stall
+    # hazard as a resize, same background-warm fix) ---------------------------
+    def _retier_async(self, tier: str) -> None:
+        from ..models.viewport import RENDER_TIERS
+        if tier not in RENDER_TIERS:
+            raise KeyError(tier)
+        with self._cam_lock:
+            if self._retiering:
+                self._retier_pending = tier
+                return
+            self._retiering = True
+        threading.Thread(target=self._warm_and_swap_tier, args=(tier,),
+                         daemon=True).start()
+
+    def _warm_and_swap_tier(self, tier: str) -> None:
+        try:
+            while True:
+                self._warm_one_tier(tier)
+                with self._cam_lock:
+                    nxt = self._retier_pending
+                    self._retier_pending = None
+                    if nxt is None or nxt == tier:
+                        self._retiering = False
+                        return
+                tier = nxt
+        except Exception:
+            import traceback
+            traceback.print_exc()
+            with self._cam_lock:
+                self._retiering = False
+                self._retier_pending = None
+
+    def _warm_one_tier(self, tier: str) -> None:
+        """Build + compile the new tier's renderer on throwaway state (no
+        lock held — frames keep flowing), then swap the live viewport."""
+        import jax.numpy as jnp
+
+        from .. import init_state
+        from ..models.ocean import step
+        from ..models.viewport import (RENDER_TIERS, SceneRenderer,
+                                       SpraySession)
+
+        if tier == self.render_tier:
+            return
+        vp = SceneRenderer(self.width, self.height, flat=self.flat,
+                           mesh_quality=self.mesh_quality,
+                           environment=self.environment,
+                           transfer=self._resolved_transfer(),
+                           **RENDER_TIERS[tier])
+        cfg = self.ocean.config
+        params = self.ocean.params     # frozen pytree; safe to read unlocked
+        state = init_state(cfg, params)
+        state, maps = step(cfg, state, params, jnp.float32(1.0 / self.fps))
+        scales = params.map_scales()
+        wc = np.asarray(self.ocean.water_color, np.float32)
+        fc = np.asarray(self.ocean.foam_color, np.float32)
+        pos, pitch, yaw = self._camera_args()
+        attrs = (SpraySession(self._spray._num_particles)
+                 .advance(maps, scales, 1.0 / self.fps)
+                 if self.spray_enabled else None)
+        np.asarray(vp.render(maps, scales, wc, fc, pos, pitch, yaw,
+                             spray_attrs=attrs))
+        with self._ocean_lock:
+            self._viewport = vp         # atomic swap; next sim tick uses it
+            self.render_tier = tier
 
     def _ambience_wav(self, which: str) -> bytes:
         """Seamless procedural loop bytes (utils/audio synthesis), cached —

@@ -28,6 +28,8 @@ from godotoceanwaves_tpu.models.ocean import Ocean
 from godotoceanwaves_tpu.models.cascade import default_cascades
 
 W, H = 640, 360
+if len(sys.argv) > 1:          # e.g. `... profile_render_projection.py 1280x720`
+    W, H = (int(v) for v in sys.argv[1].split("x"))
 CAM, PITCH = (0.0, 12.0, 0.0), -12.0
 # the shipped interactive defaults (round-4 sweep, docs/PERF.md)
 KW = dict(march_steps=32, bisect_steps=6, shade_res=2, bracket_res=128,
@@ -50,7 +52,7 @@ def chained(fn, iters=12, repeats=3, warmup=2):
 
 
 def main():
-    print("backend:", jax.default_backend(), flush=True)
+    print("backend:", jax.default_backend(), f"frame {W}x{H}", flush=True)
     ocean = Ocean(default_cascades(), map_size=1024, map_dtype="bfloat16")
     maps = ocean.update(1 / 60)
     scales = ocean.params.map_scales()

@@ -101,3 +101,25 @@ def test_jpeg_encode_of_yuv420_preserves_hue():
     # JPEG q85 of a flat field: small error, and blue stays dominant
     assert np.max(np.abs(img - direct)) <= 10
     assert (img[..., 2] > img[..., 1]).all() and (img[..., 1] > img[..., 0]).all()
+
+
+def test_render_tiers_are_valid_renderer_configs():
+    """Every RENDER_TIERS preset builds a SceneRenderer and renders a
+    correctly-shaped finite frame (the web panel's live combo feeds these
+    straight into render_ocean_geometry)."""
+    import numpy as np
+    from godotoceanwaves_tpu import Ocean
+    from godotoceanwaves_tpu.models.viewport import RENDER_TIERS
+
+    assert set(RENDER_TIERS) == {"quality", "interactive", "performance"}
+    ocean = Ocean(map_size=64, updates_per_second=0)
+    maps = ocean.update(1 / 30)
+    scales = ocean.params.map_scales()
+    wc = np.zeros(3, np.float32)
+    fc = np.ones(3, np.float32)
+    for tier, kw in RENDER_TIERS.items():
+        r = SceneRenderer(48, 28, mesh_quality="low", **kw)
+        img = np.asarray(r.render(maps, scales, wc, fc,
+                                  np.array([0.0, 9.0, 0.0], np.float32),
+                                  -14.0, 0.0))
+        assert img.shape == (28, 48, 3) and img.dtype == np.uint8

@@ -1,6 +1,7 @@
 """Browser viewer: HTTP surface + runtime parameter editing end-to-end."""
 import json
 import time
+import urllib.error
 import urllib.request
 import pytest
 
@@ -336,4 +337,47 @@ def test_webviewer_async_resize_keeps_serving(monkeypatch):
         assert json.loads(_get(port, "/state")[2])["frame"] > f1
     finally:
         warm_release.set()
+        viewer.stop()
+
+
+@pytest.mark.slow
+def test_webviewer_render_tier_switch_async():
+    """The panel's render-tier combo (models/viewport.RENDER_TIERS) swaps
+    the jitted renderer asynchronously: frames keep serving while the new
+    tier warms, /state tracks render_tier, and an unknown tier 400s."""
+    ocean = Ocean(map_size=64, updates_per_second=0)
+    viewer = WebViewer(ocean, fps=30.0, width=66, height=36)
+    assert viewer.render_tier == "interactive"
+    port = viewer.start(port=0)
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            if json.loads(_get(port, "/state")[2])["frame"] >= 2:
+                break
+            time.sleep(0.1)
+        try:
+            code = _post(port, {"name": "render_tier", "value": "nope"})
+        except urllib.error.HTTPError as e:
+            code = e.code
+        assert code >= 400
+        f0 = json.loads(_get(port, "/state")[2])["frame"]
+        assert _post(port, {"name": "render_tier",
+                            "value": "performance"}) == 200
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            state = json.loads(_get(port, "/state")[2])
+            if state["render_tier"] == "performance" and not state["retiering"]:
+                break
+            time.sleep(0.2)
+        assert state["render_tier"] == "performance"
+        assert state["retiering"] is False
+        # frames kept coming / keep coming on the new tier
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            f1 = json.loads(_get(port, "/state")[2])["frame"]
+            if f1 > f0 + 1:
+                break
+            time.sleep(0.1)
+        assert f1 > f0 + 1
+    finally:
         viewer.stop()
