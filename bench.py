@@ -244,9 +244,8 @@ def bench_render() -> dict:
     TUNED interactive defaults (screen-space gradient LOD + shade_res=2
     half-res taps + two-level march bracket_res=128 + 2-channel
     invert_res=256 UV inversion; knob sweep @ docs/PERF.md "round-4
-    structural knobs": 15.5 ms vs the 31 ms quality baseline, with the
-    shade_res=3 performance tier at 9.7 ms). Chained via a scalar folded
-    into the camera pose."""
+    structural knobs": 11.8 ms vs the 31 ms quality baseline after the
+    LOD-banding fix). Chained via a scalar folded into the camera pose."""
     from godotoceanwaves_tpu import Ocean
     from godotoceanwaves_tpu.models import geometry
 

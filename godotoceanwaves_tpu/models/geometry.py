@@ -631,6 +631,17 @@ def render_ocean_geometry(
         h_g, w_g = local_h, width
     nb = _pick_nbands(h_g, lod_bands) \
         if (gradient_lod and sampler == "mxu") else 1
+    if gradient_lod and sampler == "mxu" and nb == 1 and h_g > 16:
+        # tripwire (docs/PERF.md "found-and-fixed"): banding needs a
+        # divisor of the tap-row count; falling back to nb=1 silently runs
+        # EVERY gradient tap at mip level 0 — legal, but it already hid a
+        # 2-4x render regression once. Warn at trace time, loudly.
+        import warnings
+        warnings.warn(
+            f"gradient LOD banding disabled: no divisor of {h_g} tap rows "
+            f"<= lod_bands={lod_bands}; all gradient taps run at full "
+            "resolution (pick a height whose tap-row count has small "
+            "divisors)", RuntimeWarning, stacklevel=2)
     if nb > 1:
         # screen-space LOD (shading.py "screen-space LOD" block): horizontal
         # bands pick per-cascade mip levels from their minimum hit distance;

@@ -374,7 +374,7 @@ class WebViewer:
         # render knobs come from the selected RENDER_TIERS entry
         # ("interactive" default: 32 coarse bracket + 2x8 fine refine
         # samples, shade_res=2 half-res gradient taps, 2-channel UV
-        # inversion — 15.5 ms/frame on the v5e at 640x360 vs 31 ms at the
+        # inversion — 11.8 ms/frame on the v5e at 640x360 vs 31 ms at the
         # offline-quality tier; docs/PERF.md round-4 sweep). The viewer
         # loop is transfer-bound through the relay, so frames cross as
         # device-subsampled YUV420 (1.5 B/px, half of RGB) — visually free

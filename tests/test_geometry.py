@@ -409,3 +409,27 @@ def test_invert_res_uv_table_close(ocean_maps):
     same = np.asarray(geometry.render_ocean_geometry(maps, scales, "low",
                                                      invert_res=128, **kw))
     np.testing.assert_array_equal(same, base)
+
+
+def test_lod_banding_tripwire_and_decimated_divisibility():
+    """The decimated tap-row count must always admit a band divisor
+    (docs/PERF.md: n//stride+1 is frequently prime and silently disabled
+    banding); a full-res prime height warns instead of silently running
+    every tap at level 0."""
+    for n in (360, 540, 720, 1080, 96, 270):
+        for s in (2, 3):
+            idx, w = geometry._upsample_weights(n, s)
+            assert geometry._pick_nbands(len(idx)) > 1, (n, s, len(idx))
+            assert idx[0] == 0 and idx[-1] == n - 1
+            np.testing.assert_allclose(w.sum(axis=1), 1.0, atol=1e-6)
+    import warnings
+    o = Ocean(map_size=64, updates_per_second=0)
+    m = o.update(1 / 30)
+    sc = o.params.map_scales()
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        geometry.render_ocean_geometry(m, sc, "low", width=64, height=37,
+                                       sampler="mxu", march_steps=4,
+                                       bisect_steps=3)
+    assert any("banding disabled" in str(r.message) for r in rec), \
+        "prime full-res height must trip the LOD warning"
