@@ -31,7 +31,7 @@ from . import geometry, shading, spray
 # structural knobs"): quality 31 ms (the render_ocean_geometry defaults —
 # offline/GIF fidelity), interactive 11.8 ms (shipped viewer default;
 # visually close to quality in the hardware side-by-side), performance
-# ~8 ms (visible 3x3 shading blocks; for high-res/low-chip-count budgets).
+# 9.9 ms (visible 3x3 shading blocks; for high-res/low-chip-count budgets).
 # Keys are render_ocean_geometry kwargs; all static (a tier switch retraces,
 # which the web viewer does asynchronously like a resize).
 RENDER_TIERS: dict[str, dict] = {

@@ -356,11 +356,14 @@ class WebViewer:
         # throwaway state in a background thread while old-size frames keep
         # serving, then swap under _ocean_lock.
         self._resizing = False
-        self._resize_pending: int | None = None
-        # async render-tier swap state (same pattern as resize: a tier
-        # change retraces the renderer, so warm in the background and swap)
         self._retiering = False
-        self._retier_pending: str | None = None
+        # ONE reconfiguration worker serializes every warm+swap (resize,
+        # render tier): concurrent per-kind threads interleaved badly — a
+        # tier renderer warmed against a pre-resize map size stalls the
+        # serving loop behind an in-loop retrace (caught by the round-4
+        # hardware soak). Pending edits collapse to the latest per kind.
+        self._reconf_busy = False
+        self._reconf_pending: dict = {}
         self._build_renderers()
 
     def _build_renderers(self) -> None:
@@ -582,34 +585,67 @@ class WebViewer:
     # --- async resize (reference bar: the ImGui resolution combo swaps
     # live, main.gd:66-70) ---------------------------------------------------
     def _resize_async(self, new_size: int) -> None:
-        """Warm the new map size's executables in a background thread, then
+        """Warm the new map size's executables in a background worker, then
         swap. Old-size frames keep serving throughout; rapid clicks collapse
-        to the latest request."""
-        with self._cam_lock:
-            if self._resizing:
-                self._resize_pending = new_size
-                return
-            self._resizing = True
-        threading.Thread(target=self._warm_and_swap, args=(new_size,),
-                         daemon=True).start()
+        to the latest request. Shares ONE worker with the render-tier swap:
+        a hardware soak caught the two-thread interleaving (a tier request
+        arriving during a resize warm built its renderer against the OLD
+        map size, so the post-resize serving loop retraced and stalled
+        ~30 s behind a fresh compile — docs/PERF.md round-4 soak)."""
+        self._reconfigure_async("map_size", int(new_size))
 
-    def _warm_and_swap(self, new_size: int) -> None:
+    def _reconfigure_async(self, name: str, value) -> None:
+        with self._cam_lock:
+            self._reconf_pending[name] = value
+            if name == "map_size":
+                self._resizing = True
+            else:
+                self._retiering = True
+            if self._reconf_busy:
+                return
+            self._reconf_busy = True
+        threading.Thread(target=self._reconf_worker, daemon=True).start()
+
+    def _reconf_worker(self) -> None:
+        """Single serializer for every warm+swap reconfiguration. Pops the
+        LATEST pending map_size/render_tier each pass (rapid clicks
+        collapse), warms with no lock held, swaps, repeats until no edits
+        remain — so a tier warm always sees the post-resize config and
+        vice versa."""
         try:
             while True:
-                self._warm_one_size(new_size)
                 with self._cam_lock:
-                    nxt = self._resize_pending
-                    self._resize_pending = None
-                    if nxt is None or nxt == new_size:
+                    if not self._reconf_pending:
+                        self._reconf_busy = False
                         self._resizing = False
+                        self._retiering = False
                         return
-                new_size = nxt
+                    want_size = self._reconf_pending.pop("map_size", None)
+                    want_tier = self._reconf_pending.pop("render_tier", None)
+                if (want_size is not None and want_tier is not None
+                        and want_tier != self.render_tier):
+                    self._warm_size_and_tier(want_size, want_tier)
+                elif want_size is not None:
+                    self._warm_one_size(want_size)
+                    if want_tier is not None:   # tier == current: no-op swap
+                        self.render_tier = want_tier
+                elif want_tier is not None:
+                    self._warm_one_tier(want_tier)
+                with self._cam_lock:
+                    if want_size is not None \
+                            and "map_size" not in self._reconf_pending:
+                        self._resizing = False
+                    if want_tier is not None \
+                            and "render_tier" not in self._reconf_pending:
+                        self._retiering = False
         except Exception:
             import traceback
             traceback.print_exc()
             with self._cam_lock:
+                self._reconf_busy = False
+                self._reconf_pending.clear()
                 self._resizing = False
-                self._resize_pending = None
+                self._retiering = False
 
     def _warm_one_size(self, new_size: int) -> None:
         """Compile step + render for `new_size` on throwaway state (no lock
@@ -653,31 +689,47 @@ class WebViewer:
         from ..models.viewport import RENDER_TIERS
         if tier not in RENDER_TIERS:
             raise KeyError(tier)
-        with self._cam_lock:
-            if self._retiering:
-                self._retier_pending = tier
-                return
-            self._retiering = True
-        threading.Thread(target=self._warm_and_swap_tier, args=(tier,),
-                         daemon=True).start()
+        self._reconfigure_async("render_tier", str(tier))
 
-    def _warm_and_swap_tier(self, tier: str) -> None:
-        try:
-            while True:
-                self._warm_one_tier(tier)
-                with self._cam_lock:
-                    nxt = self._retier_pending
-                    self._retier_pending = None
-                    if nxt is None or nxt == tier:
-                        self._retiering = False
-                        return
-                tier = nxt
-        except Exception:
-            import traceback
-            traceback.print_exc()
-            with self._cam_lock:
-                self._retiering = False
-                self._retier_pending = None
+    def _warm_size_and_tier(self, new_size: int, tier: str) -> None:
+        """Combined warm for a size+tier pair requested together: one new
+        renderer compiled at the new size, one atomic swap of both."""
+        import jax.numpy as jnp
+
+        from .. import init_state
+        from ..models.ocean import step
+        from ..models.viewport import SpraySession
+        import dataclasses as _dc
+
+        vp = self._build_tier_renderer(tier)
+        cfg = _dc.replace(self.ocean.config, map_size=new_size)
+        params = self.ocean.params
+        state = init_state(cfg, params)
+        state, maps = step(cfg, state, params, jnp.float32(1.0 / self.fps))
+        scales = params.map_scales()
+        wc = np.asarray(self.ocean.water_color, np.float32)
+        fc = np.asarray(self.ocean.foam_color, np.float32)
+        pos, pitch, yaw = self._camera_args()
+        attrs = (SpraySession(self._spray._num_particles)
+                 .advance(maps, scales, 1.0 / self.fps)
+                 if self.spray_enabled else None)
+        np.asarray(vp.render(maps, scales, wc, fc, pos, pitch, yaw,
+                             spray_attrs=attrs))
+        with self._ocean_lock:
+            self.ocean.resize(new_size, clear_jit_caches=False)
+            self._viewport = vp
+            self.render_tier = tier
+            snap = self._snapshot_ocean()
+        with self._frame_lock:
+            self._state_cache = snap
+
+    def _build_tier_renderer(self, tier: str):
+        from ..models.viewport import RENDER_TIERS, SceneRenderer
+        return SceneRenderer(self.width, self.height, flat=self.flat,
+                             mesh_quality=self.mesh_quality,
+                             environment=self.environment,
+                             transfer=self._resolved_transfer(),
+                             **RENDER_TIERS[tier])
 
     def _warm_one_tier(self, tier: str) -> None:
         """Build + compile the new tier's renderer on throwaway state (no
@@ -686,16 +738,11 @@ class WebViewer:
 
         from .. import init_state
         from ..models.ocean import step
-        from ..models.viewport import (RENDER_TIERS, SceneRenderer,
-                                       SpraySession)
+        from ..models.viewport import SpraySession
 
         if tier == self.render_tier:
             return
-        vp = SceneRenderer(self.width, self.height, flat=self.flat,
-                           mesh_quality=self.mesh_quality,
-                           environment=self.environment,
-                           transfer=self._resolved_transfer(),
-                           **RENDER_TIERS[tier])
+        vp = self._build_tier_renderer(tier)
         cfg = self.ocean.config
         params = self.ocean.params     # frozen pytree; safe to read unlocked
         state = init_state(cfg, params)

@@ -381,3 +381,95 @@ def test_webviewer_render_tier_switch_async():
         assert f1 > f0 + 1
     finally:
         viewer.stop()
+
+
+def test_webviewer_concurrent_resize_and_tier_serialize(monkeypatch):
+    """A tier switch posted while a resize warm is in flight must be
+    processed AFTER the resize by the single reconfiguration worker (the
+    round-4 hardware soak caught the two-thread interleaving: a tier
+    renderer warmed against the pre-resize map size stalled the serving
+    loop behind an in-loop retrace)."""
+    import threading
+
+    ocean = Ocean(map_size=64, updates_per_second=0)
+    viewer = WebViewer(ocean, fps=30.0, width=64, height=36)
+
+    warm_started = threading.Event()
+    warm_release = threading.Event()
+    real_warm = WebViewer._warm_one_size
+    sizes_seen = []
+    tiers_warmed = []
+
+    def slow_warm(self, new_size):
+        warm_started.set()
+        assert warm_release.wait(60)
+        sizes_seen.append(new_size)
+        real_warm(self, new_size)
+
+    real_tier_warm = WebViewer._warm_one_tier
+
+    def spy_tier_warm(self, tier):
+        # must run AFTER the resize landed (serialized worker)
+        tiers_warmed.append((tier, self.ocean.config.map_size))
+        real_tier_warm(self, tier)
+
+    monkeypatch.setattr(WebViewer, "_warm_one_size", slow_warm)
+    monkeypatch.setattr(WebViewer, "_warm_one_tier", spy_tier_warm)
+    port = viewer.start(port=0)
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            if json.loads(_get(port, "/state")[2])["frame"] >= 2:
+                break
+            time.sleep(0.1)
+        assert _post(port, {"name": "map_size", "value": 128}) == 200
+        assert warm_started.wait(30)
+        # tier request lands while the resize warm is blocked
+        assert _post(port, {"name": "render_tier",
+                            "value": "performance"}) == 200
+        state = json.loads(_get(port, "/state")[2])
+        assert state["resizing"] is True and state["retiering"] is True
+        warm_release.set()
+        deadline = time.time() + 180
+        while time.time() < deadline:
+            state = json.loads(_get(port, "/state")[2])
+            if (state["map_size"] == 128
+                    and state["render_tier"] == "performance"
+                    and not state["resizing"] and not state["retiering"]):
+                break
+            time.sleep(0.2)
+        assert state["map_size"] == 128
+        assert state["render_tier"] == "performance"
+        assert sizes_seen == [128]
+        # the tier warm observed the POST-resize config (the bug was 64)
+        assert tiers_warmed and tiers_warmed[0] == ("performance", 128)
+        # and frames keep coming on the combined new configuration
+        f0 = state["frame"]
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            if json.loads(_get(port, "/state")[2])["frame"] > f0:
+                break
+            time.sleep(0.1)
+        assert json.loads(_get(port, "/state")[2])["frame"] > f0
+    finally:
+        warm_release.set()
+        viewer.stop()
+
+
+def test_webviewer_combined_size_and_tier_warm_swaps_atomically():
+    """_warm_size_and_tier (the worker's both-pending branch) compiles ONE
+    renderer at the new size and swaps size+tier together."""
+    ocean = Ocean(map_size=64, updates_per_second=0)
+    viewer = WebViewer(ocean, fps=30.0, width=64, height=36)
+    vp0 = viewer._viewport
+    viewer._warm_size_and_tier(128, "performance")
+    assert ocean.config.map_size == 128
+    assert viewer.render_tier == "performance"
+    assert viewer._viewport is not vp0
+    # the swapped state serves: one render on the live config works
+    maps = ocean.update(1 / 30)
+    scales = ocean.params.map_scales()
+    img = np.asarray(viewer._viewport.render(
+        maps, scales, np.zeros(3, np.float32), np.ones(3, np.float32),
+        np.array([0.0, 9.0, 0.0], np.float32), -14.0, 0.0))
+    assert np.isfinite(img.astype(np.float32)).all()
