@@ -73,6 +73,11 @@ def main() -> None:
                     help="render knob preset (models/viewport.RENDER_TIERS; "
                          "offline frames default to full quality, the web "
                          "viewer to 'interactive')")
+    ap.add_argument("--render-scale", type=int, default=1,
+                    help="dynamic resolution: march/shade at 1/s resolution "
+                         "and upsample the finished frame on device (Godot "
+                         "viewport render-scale analog; width/height must "
+                         "be divisible by s)")
     ap.add_argument("--camera", type=str, default="0,12,0",
                     help="camera position X,Y,Z (offline frames)")
     ap.add_argument("--pitch", type=float, default=-12.0,
@@ -131,7 +136,8 @@ def main() -> None:
                   width=args.width, height=args.height, flat=args.flat,
                   mesh_quality=args.mesh_quality, spray=args.spray,
                   spray_particles=args.spray_particles,
-                  render_tier=args.render_tier or "interactive"
+                  render_tier=args.render_tier or "interactive",
+                  render_scale=args.render_scale
                   ).run(port=args.port)
         return
 
@@ -154,10 +160,12 @@ def main() -> None:
                                                      SceneRenderer,
                                                      SpraySession)
     from godotoceanwaves_tpu.models.viewport import RENDER_TIERS
+    tier_kw = dict(RENDER_TIERS[args.render_tier or "quality"])
+    if args.render_scale > 1:
+        tier_kw["render_scale"] = args.render_scale
     viewport = SceneRenderer(args.width, args.height, flat=args.flat,
                              mesh_quality=args.mesh_quality,
-                             environment=args.environment,
-                             **RENDER_TIERS[args.render_tier or "quality"])
+                             environment=args.environment, **tier_kw)
     spray_session = SpraySession(num_particles=args.spray_particles) \
         if args.spray else None
 

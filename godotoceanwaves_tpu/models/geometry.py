@@ -246,6 +246,22 @@ def _pick_nbands(height: int, target: int = 16) -> int:
 
 
 @functools.lru_cache(maxsize=32)
+def _scale_weights(n_full: int, n_small: int) -> np.ndarray:
+    """(n_full, n_small) bilinear weight matrix lifting a frame rendered at
+    a reduced internal resolution back to output resolution (pixel-center
+    aligned, edges clamped). Used by `render_scale`; rows are 2-sparse and
+    convex, so the upsample is one small einsum and preserves [0, 1]."""
+    x = (np.arange(n_full) + 0.5) * (n_small / n_full) - 0.5
+    lo = np.clip(np.floor(x).astype(np.int64), 0, n_small - 1)
+    hi = np.minimum(lo + 1, n_small - 1)
+    frac = np.clip(x - lo, 0.0, 1.0).astype(np.float32)
+    w = np.zeros((n_full, n_small), np.float32)
+    np.add.at(w, (np.arange(n_full), lo), 1.0 - frac)
+    np.add.at(w, (np.arange(n_full), hi), frac)
+    return w
+
+
+@functools.lru_cache(maxsize=32)
 def _upsample_weights(n: int, stride: int):
     """Static decimation indices + linear upsample matrix for one axis.
 
@@ -333,6 +349,7 @@ def render_ocean_geometry(
     lod_levels: int = 4,        # max mip pyramid depth for the LOD taps
     lod_bias: float = 1.0,      # >1 = coarser mips (speed/detail tradeoff)
     shade_res: int = 1,         # gradient taps every s-th pixel, upsampled
+    render_scale: int = 1,      # dynamic resolution: render at 1/s, upsample
     rows=None,                  # (row_offset, row_count) band of the frame
     **shade_kwargs,
 ) -> jax.Array:
@@ -374,7 +391,39 @@ def render_ocean_geometry(
     (parallel.sharding.render_geometry_sharded): pixels are independent
     given the replicated displaced grid, so bands shard with zero
     cross-device traffic.
+
+    `render_scale=s` (s > 1) is dynamic resolution — the TPU analog of
+    Godot's 3D viewport render scale: the ENTIRE pipeline (march, UV
+    inversion, gradient taps, shading, sky) runs at width/s x height/s and
+    the finished frame is bilinearly lifted back on-device (one small
+    einsum pair). Unlike `shade_res` (which decimates only the gradient
+    taps), everything scales, so the cost drops ~s^2; the LOD criterion
+    sees the honestly wider internal pixel. Requires width, height (and a
+    static `rows` window) divisible by s; with `rows`, each band upsamples
+    independently with clamped edges (a <=1-px seam softening per band —
+    negligible at the multi-chip band heights, and zero for full frames).
     """
+    if render_scale > 1:
+        call = {k: v for k, v in locals().items() if k != "shade_kwargs"}
+        s = call.pop("render_scale")
+        if width % s or height % s:
+            raise ValueError(
+                f"render_scale={s} needs width/height divisible by it "
+                f"(got {width}x{height})")
+        out_h = height
+        if rows is not None:
+            off, cnt = rows
+            if isinstance(cnt, int) and cnt % s:
+                raise ValueError(
+                    f"render_scale={s} needs the rows count divisible by it "
+                    f"(got {cnt})")
+            call["rows"] = (off // s, cnt // s)
+            out_h = cnt
+        call["width"], call["height"] = width // s, height // s
+        img = render_ocean_geometry(**call, **shade_kwargs)
+        row_w = jnp.asarray(_scale_weights(out_h, out_h // s))
+        col_w = jnp.asarray(_scale_weights(width, width // s))
+        return jnp.einsum("ir,rck,jc->ijk", row_w, img, col_w)
     cam = jnp.asarray(camera_pos, jnp.float32)
     row_offset, local_h = (0, height) if rows is None else rows
     if center_xz is None:

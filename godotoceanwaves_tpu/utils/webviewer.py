@@ -294,13 +294,24 @@ class WebViewer:
                  height: int = 360, environment: bool = True,
                  mesh_quality: str = "low", flat: bool = False,
                  spray: bool = False, spray_particles: int = 32768,
-                 transfer: str = "auto", render_tier: str = "interactive"):
+                 transfer: str = "auto", render_tier: str = "interactive",
+                 render_scale: int = 1):
         self.ocean = ocean
         self.environment = environment
         self.fps = fps
         self.width = width
         self.height = height
         self.flat = flat
+        if render_scale > 1 and (width % render_scale
+                                 or height % render_scale):
+            raise ValueError(
+                f"render_scale={render_scale} needs width/height divisible "
+                f"by it (got {width}x{height})")
+        # dynamic resolution (geometry.render_ocean_geometry render_scale):
+        # march/shade at 1/s and upsample on device — for high output
+        # resolutions where one chip's render budget, not the relay link,
+        # caps the rate. Ignored on the flat path.
+        self.render_scale = render_scale
         if transfer not in ("auto", "rgb", "yuv420"):
             raise ValueError(f"unknown transfer {transfer!r}")
         self.transfer = transfer
@@ -389,7 +400,7 @@ class WebViewer:
             self.width, self.height, flat=self.flat,
             mesh_quality=self.mesh_quality, environment=self.environment,
             transfer=self._resolved_transfer(),
-            **RENDER_TIERS[self.render_tier])
+            **self._scale_kw(), **RENDER_TIERS[self.render_tier])
 
     def _resolved_transfer(self) -> str:
         if self.transfer == "auto":
@@ -723,13 +734,17 @@ class WebViewer:
         with self._frame_lock:
             self._state_cache = snap
 
+    def _scale_kw(self) -> dict:
+        return ({"render_scale": self.render_scale}
+                if self.render_scale > 1 and not self.flat else {})
+
     def _build_tier_renderer(self, tier: str):
         from ..models.viewport import RENDER_TIERS, SceneRenderer
         return SceneRenderer(self.width, self.height, flat=self.flat,
                              mesh_quality=self.mesh_quality,
                              environment=self.environment,
                              transfer=self._resolved_transfer(),
-                             **RENDER_TIERS[tier])
+                             **self._scale_kw(), **RENDER_TIERS[tier])
 
     def _warm_one_tier(self, tier: str) -> None:
         """Build + compile the new tier's renderer on throwaway state (no

@@ -92,6 +92,45 @@ def test_silhouette_differs_from_flat_render(ocean_maps):
     assert float(np.abs(np.asarray(geom) - np.asarray(flat)).mean()) > 0.005
 
 
+def test_render_scale_dynamic_resolution(ocean_maps):
+    """`render_scale=s` (Godot viewport render-scale analog): full-size
+    output, faithful to the native render, and band windows consistent
+    with the full frame (the multi-chip unit)."""
+    maps, scales = ocean_maps
+    kw = dict(light_dir=LIGHT, march_steps=28, bisect_steps=8, **CAM)
+    native = np.asarray(geometry.render_ocean_geometry(
+        maps, scales, "low", width=W, height=H, **kw))
+    scaled = np.asarray(geometry.render_ocean_geometry(
+        maps, scales, "low", width=W, height=H, render_scale=2, **kw))
+    assert scaled.shape == native.shape
+    assert np.isfinite(scaled).all()
+    assert scaled.min() >= 0.0 and scaled.max() <= 1.0
+    corr = np.corrcoef(native.ravel(), scaled.ravel())[0, 1]
+    assert corr > 0.9, f"scaled render decorrelated from native ({corr:.3f})"
+    # row bands (the multi-chip sharding unit) reproduce the full frame's
+    # interiors exactly; only the <=1-px clamped seam may differ
+    a = np.asarray(geometry.render_ocean_geometry(
+        maps, scales, "low", width=W, height=H, render_scale=2,
+        rows=(0, H // 2), **kw))
+    b = np.asarray(geometry.render_ocean_geometry(
+        maps, scales, "low", width=W, height=H, render_scale=2,
+        rows=(H // 2, H // 2), **kw))
+    bands = np.concatenate([a, b], axis=0)
+    assert bands.shape == scaled.shape
+    hh = H // 2
+    np.testing.assert_allclose(bands[2:hh - 2], scaled[2:hh - 2], atol=1e-5)
+    np.testing.assert_allclose(bands[hh + 2:H - 2], scaled[hh + 2:H - 2],
+                               atol=1e-5)
+    # indivisible sizes are a loud error, not a silent crop
+    with pytest.raises(ValueError):
+        geometry.render_ocean_geometry(maps, scales, "low", width=W,
+                                       height=H + 1, render_scale=2, **kw)
+    with pytest.raises(ValueError):
+        geometry.render_ocean_geometry(maps, scales, "low", width=W,
+                                       height=H, render_scale=2,
+                                       rows=(0, H // 2 + 1), **kw)
+
+
 def test_zero_displacement_reduces_to_flat_plane(ocean_maps):
     """With zero displacement the displaced mesh IS the y=0 plane: the two
     renderers must agree (up to the march/bisect hit tolerance)."""

@@ -230,6 +230,40 @@ def test_render_geometry_sharded_lod_bands_close():
     assert np.isfinite(got).all() and rms < 0.05
 
 
+@pytest.mark.slow
+def test_render_geometry_sharded_render_scale():
+    """`render_scale` composes with row sharding: each device renders its
+    band at 1/s and upsamples locally; band interiors match the
+    single-device scaled frame (clamped band seams excepted)."""
+    from godotoceanwaves_tpu.parallel import render_geometry_sharded
+    from godotoceanwaves_tpu.models import geometry
+
+    cfg = SimConfig(map_size=N, fft_impl="matmul")
+    params = default_cascades()
+    state = init_state(cfg, params)
+    _, maps = step(cfg, state, params, 0.02)
+    scales = params.map_scales()
+    kw = dict(quality="low", width=64, camera_pos=(0.0, 6.0, 0.0),
+              pitch_deg=-10.0, sampler="gather", gradient_lod=False,
+              march_steps=12, bisect_steps=3, render_scale=2)
+
+    dense = np.asarray(geometry.render_ocean_geometry(
+        maps, scales, height=64, **kw))
+    mesh = build_mesh(jax.devices(), rows=2)
+    # restrict to the 2-device rows axis: 2 bands of 32 rows (each band
+    # upsamples locally, so band count = seam count)
+    got = np.asarray(render_geometry_sharded(mesh, maps, scales,
+                                             height=64, axes="rows", **kw))
+    assert got.shape == dense.shape == (64, 64, 3)
+    # interiors of each 32-row band agree; the clamped upsample seam at the
+    # band boundary may differ by one output pixel row on each side, and
+    # the band's (32, 16) upsample matmul accumulates in a different order
+    # than the dense frame's (64, 32) one (~5e-4 on [0,1] colors — well
+    # under a uint8 quantization step)
+    np.testing.assert_allclose(got[2:30], dense[2:30], atol=1e-3)
+    np.testing.assert_allclose(got[34:62], dense[34:62], atol=1e-3)
+
+
 def test_render_geometry_sharded_rejects_indivisible_height():
     from godotoceanwaves_tpu.parallel import render_geometry_sharded
 
