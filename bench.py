@@ -24,9 +24,10 @@ visible), then further FULL JSON lines as the later legs complete:
 rms_vs_oracle (on-device 512^2 step vs the NumPy oracle — the driver
 metric's RMS half), config5_* (2048^2 dual wind+swell spectra on the strip
 tier + MapStreamer host streaming, with bytes/frame + MB/s + preview-tier
-rate), and render_ms_frame (the 640x360 displaced-geometry render). Each
-later line is a superset of the former, so any last-line/first-line parser
-gets a valid record.
+rate), and render_ms_frame (the 640x360 displaced-geometry render) +
+render_720p_scale2_ms (1280x720 via render_scale=2 dynamic resolution).
+Each later line is a superset of the former, so any last-line/first-line
+parser gets a valid record.
 """
 from __future__ import annotations
 
@@ -263,19 +264,34 @@ def bench_render() -> dict:
             environment=True, sampler="mxu")
         return jnp.sum(img)
 
-    chk = jax.jit(lambda t: jnp.abs(t))
-    carry = jnp.float32(0.0)
-    for _ in range(2):
-        carry = frame(carry)
-    float(chk(carry))
-    best = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        for _ in range(12):
-            carry = frame(carry)
+    @jax.jit
+    def frame720(eps):
+        # 1280x720 at render_scale=2 (dynamic resolution: the whole
+        # pipeline at 640x360, on-device bilinear lift — docs/PERF.md
+        # "render_scale"): the single-chip 720p interactive figure
+        img = geometry.render_ocean_geometry(
+            maps, scales, quality="high", width=1280, height=720,
+            camera_pos=cam0 + eps * 1e-6, march_steps=32, bisect_steps=6,
+            shade_res=2, bracket_res=128, invert_res=256, render_scale=2,
+            environment=True, sampler="mxu")
+        return jnp.sum(img)
+
+    def timed(fn):
+        chk = jax.jit(lambda t: jnp.abs(t))
+        carry = jnp.float32(0.0)
+        for _ in range(2):
+            carry = fn(carry)
         float(chk(carry))
-        best = min(best, (time.perf_counter() - t0) / 12 * 1e3)
-    return {"ms_frame": best}
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            for _ in range(12):
+                carry = fn(carry)
+            float(chk(carry))
+            best = min(best, (time.perf_counter() - t0) / 12 * 1e3)
+        return best
+
+    return {"ms_frame": timed(frame), "ms_frame_720p_scale2": timed(frame720)}
 
 
 def _render_subprocess() -> None:
@@ -387,11 +403,15 @@ def main() -> None:
         rr = run_leg("--render")
         print(
             f"render: 640x360 displaced-geometry frame (high mesh, LOD) "
-            f"{rr['ms_frame']:.2f} ms/frame (docs/PERF.md 'Geometry render')",
+            f"{rr['ms_frame']:.2f} ms/frame; 1280x720 at render_scale=2 "
+            f"(dynamic resolution) {rr['ms_frame_720p_scale2']:.2f} ms/frame "
+            f"(docs/PERF.md 'Geometry render')",
             file=sys.stderr,
         )
         print(json.dumps({**record,
-                          "render_ms_frame": round(rr["ms_frame"], 4)}))
+                          "render_ms_frame": round(rr["ms_frame"], 4),
+                          "render_720p_scale2_ms": round(
+                              rr["ms_frame_720p_scale2"], 4)}))
         sys.stdout.flush()
     except Exception as e:
         print(f"render bench failed: {e!r}", file=sys.stderr)

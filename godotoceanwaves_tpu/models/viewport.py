@@ -129,6 +129,9 @@ class SceneRenderer:
         self.mesh_quality = mesh_quality
         self.environment = environment
         self.transfer = transfer
+        # the displaced-geometry knobs this renderer was built with
+        # (introspection for the viewers' live reconfiguration)
+        self.render_kwargs = dict(render_kwargs)
 
         def scene(maps, scales, wc, fc, pos, pitch, yaw):
             if flat:

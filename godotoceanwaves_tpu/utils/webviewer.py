@@ -105,6 +105,7 @@ _PAGE = """<!doctype html>
  <div class="row"><label>render tier</label><select id="rtier">
    <option>quality</option><option>interactive</option>
    <option>performance</option></select></div>
+ <div class="row"><label>render scale</label><select id="rscale"></select></div>
  <div class="row"><label>spray</label><input id="spray" type="checkbox"></div>
  <div class="row"><label>updates/s</label>
    <input id="ups" type="range" min="0" max="60" step="1">
@@ -156,6 +157,13 @@ async function refreshState() {
   ms.value = state.map_size;
   el('meshq').value = state.mesh_quality;
   if (document.activeElement !== el('rtier')) el('rtier').value = state.render_tier;
+  const rs = el('rscale');
+  if (!rs.options.length) {
+    rs.innerHTML = state.render_scales.map(s => `<option>1/${s}</option>`).join('');
+    rs.onchange = () => post({name: 'render_scale',
+                              value: Number(rs.value.slice(2))});
+  }
+  if (document.activeElement !== rs) rs.value = '1/' + state.render_scale;
   el('spray').checked = state.spray;
   el('ncasc').textContent = state.cascades.length;
   if (document.activeElement !== el('wcolor')) el('wcolor').value = hex(state.water_color);
@@ -310,8 +318,13 @@ class WebViewer:
         # dynamic resolution (geometry.render_ocean_geometry render_scale):
         # march/shade at 1/s and upsample on device — for high output
         # resolutions where one chip's render budget, not the relay link,
-        # caps the rate. Ignored on the flat path.
+        # caps the rate. Ignored on the flat path. Editable live from the
+        # panel combo (same async warm+swap as a tier change); the combo
+        # offers only divisors of this viewer's fixed output size.
         self.render_scale = render_scale
+        self._valid_render_scales = [1] if flat else [
+            s for s in (1, 2, 3, 4)
+            if s == 1 or (width % s == 0 and height % s == 0)]
         if transfer not in ("auto", "rgb", "yuv420"):
             raise ValueError(f"unknown transfer {transfer!r}")
         self.transfer = transfer
@@ -542,7 +555,8 @@ class WebViewer:
                 "frame": frame_no, "camera": cam, "camera_speed": speed,
                 "spray": spray_on, "mesh_quality": self.mesh_quality,
                 "resizing": resizing, "render_tier": self.render_tier,
-                "retiering": retiering,
+                "retiering": retiering, "render_scale": self.render_scale,
+                "render_scales": self._valid_render_scales,
                 "ambience_db": list(ambience_gains_db(total_wind))}
 
     def _apply(self, req: dict) -> None:
@@ -559,6 +573,10 @@ class WebViewer:
         if name == "render_tier":
             # same hazard (a tier change retraces the render), same fix
             self._retier_async(str(value))
+            return
+        if name == "render_scale":
+            # dynamic resolution swap: same retrace hazard, same worker
+            self._rescale_async(int(value))
             return
         with self._ocean_lock:
             if name == "mesh_quality":
@@ -633,21 +651,34 @@ class WebViewer:
                         return
                     want_size = self._reconf_pending.pop("map_size", None)
                     want_tier = self._reconf_pending.pop("render_tier", None)
-                if (want_size is not None and want_tier is not None
-                        and want_tier != self.render_tier):
-                    self._warm_size_and_tier(want_size, want_tier)
+                    want_scale = self._reconf_pending.pop("render_scale",
+                                                          None)
+                scale_requested = want_scale is not None
+                if want_scale == self.render_scale:
+                    want_scale = None           # scale == current: no-op
+                tier_changed = (want_tier is not None
+                                and want_tier != self.render_tier)
+                if want_size is not None and (tier_changed
+                                              or want_scale is not None):
+                    self._warm_size_and_tier(
+                        want_size, want_tier or self.render_tier,
+                        scale=want_scale)
                 elif want_size is not None:
                     self._warm_one_size(want_size)
                     if want_tier is not None:   # tier == current: no-op swap
                         self.render_tier = want_tier
-                elif want_tier is not None:
-                    self._warm_one_tier(want_tier)
+                elif tier_changed or want_scale is not None:
+                    self._warm_one_tier(want_tier or self.render_tier,
+                                        scale=want_scale)
+                elif want_tier is not None:     # tier == current: no-op swap
+                    self.render_tier = want_tier
                 with self._cam_lock:
                     if want_size is not None \
                             and "map_size" not in self._reconf_pending:
                         self._resizing = False
-                    if want_tier is not None \
-                            and "render_tier" not in self._reconf_pending:
+                    if (want_tier is not None or scale_requested) \
+                            and "render_tier" not in self._reconf_pending \
+                            and "render_scale" not in self._reconf_pending:
                         self._retiering = False
         except Exception:
             import traceback
@@ -702,9 +733,21 @@ class WebViewer:
             raise KeyError(tier)
         self._reconfigure_async("render_tier", str(tier))
 
-    def _warm_size_and_tier(self, new_size: int, tier: str) -> None:
-        """Combined warm for a size+tier pair requested together: one new
-        renderer compiled at the new size, one atomic swap of both."""
+    def _rescale_async(self, scale: int) -> None:
+        """Panel render-scale combo (dynamic resolution): validate against
+        this viewer's fixed output size, then hand to the single
+        reconfiguration worker (a scale change retraces the render — same
+        stall hazard as a tier change)."""
+        if scale not in self._valid_render_scales:
+            raise ValueError(
+                f"render_scale={scale} not in {self._valid_render_scales} "
+                f"for {self.width}x{self.height}")
+        self._reconfigure_async("render_scale", int(scale))
+
+    def _warm_size_and_tier(self, new_size: int, tier: str,
+                            scale: int | None = None) -> None:
+        """Combined warm for a size+tier(+scale) group requested together:
+        one new renderer compiled at the new size, one atomic swap of all."""
         import jax.numpy as jnp
 
         from .. import init_state
@@ -712,7 +755,7 @@ class WebViewer:
         from ..models.viewport import SpraySession
         import dataclasses as _dc
 
-        vp = self._build_tier_renderer(tier)
+        vp = self._build_tier_renderer(tier, scale)
         cfg = _dc.replace(self.ocean.config, map_size=new_size)
         params = self.ocean.params
         state = init_state(cfg, params)
@@ -730,34 +773,37 @@ class WebViewer:
             self.ocean.resize(new_size, clear_jit_caches=False)
             self._viewport = vp
             self.render_tier = tier
+            if scale is not None:
+                self.render_scale = scale
             snap = self._snapshot_ocean()
         with self._frame_lock:
             self._state_cache = snap
 
-    def _scale_kw(self) -> dict:
-        return ({"render_scale": self.render_scale}
-                if self.render_scale > 1 and not self.flat else {})
+    def _scale_kw(self, scale: int | None = None) -> dict:
+        s = self.render_scale if scale is None else scale
+        return ({"render_scale": s} if s > 1 and not self.flat else {})
 
-    def _build_tier_renderer(self, tier: str):
+    def _build_tier_renderer(self, tier: str, scale: int | None = None):
         from ..models.viewport import RENDER_TIERS, SceneRenderer
         return SceneRenderer(self.width, self.height, flat=self.flat,
                              mesh_quality=self.mesh_quality,
                              environment=self.environment,
                              transfer=self._resolved_transfer(),
-                             **self._scale_kw(), **RENDER_TIERS[tier])
+                             **self._scale_kw(scale), **RENDER_TIERS[tier])
 
-    def _warm_one_tier(self, tier: str) -> None:
+    def _warm_one_tier(self, tier: str, scale: int | None = None) -> None:
         """Build + compile the new tier's renderer on throwaway state (no
-        lock held — frames keep flowing), then swap the live viewport."""
+        lock held — frames keep flowing), then swap the live viewport.
+        `scale` (dynamic resolution) rebuilds even when `tier` is current."""
         import jax.numpy as jnp
 
         from .. import init_state
         from ..models.ocean import step
         from ..models.viewport import SpraySession
 
-        if tier == self.render_tier:
+        if tier == self.render_tier and scale is None:
             return
-        vp = self._build_tier_renderer(tier)
+        vp = self._build_tier_renderer(tier, scale)
         cfg = self.ocean.config
         params = self.ocean.params     # frozen pytree; safe to read unlocked
         state = init_state(cfg, params)
@@ -774,6 +820,8 @@ class WebViewer:
         with self._ocean_lock:
             self._viewport = vp         # atomic swap; next sim tick uses it
             self.render_tier = tier
+            if scale is not None:
+                self.render_scale = scale
 
     def _ambience_wav(self, which: str) -> bytes:
         """Seamless procedural loop bytes (utils/audio synthesis), cached —

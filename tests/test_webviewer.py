@@ -408,10 +408,10 @@ def test_webviewer_concurrent_resize_and_tier_serialize(monkeypatch):
 
     real_tier_warm = WebViewer._warm_one_tier
 
-    def spy_tier_warm(self, tier):
+    def spy_tier_warm(self, tier, scale=None):
         # must run AFTER the resize landed (serialized worker)
         tiers_warmed.append((tier, self.ocean.config.map_size))
-        real_tier_warm(self, tier)
+        real_tier_warm(self, tier, scale)
 
     monkeypatch.setattr(WebViewer, "_warm_one_size", slow_warm)
     monkeypatch.setattr(WebViewer, "_warm_one_tier", spy_tier_warm)
@@ -473,3 +473,59 @@ def test_webviewer_combined_size_and_tier_warm_swaps_atomically():
         maps, scales, np.zeros(3, np.float32), np.ones(3, np.float32),
         np.array([0.0, 9.0, 0.0], np.float32), -14.0, 0.0))
     assert np.isfinite(img.astype(np.float32)).all()
+
+@pytest.mark.slow
+def test_webviewer_render_scale_switch_async():
+    """The panel's render-scale combo (dynamic resolution): /state lists
+    only divisors of the output size, an invalid scale 400s, a valid one
+    swaps through the async reconfiguration worker with frames serving
+    throughout, and a no-op repost clears the busy flag (regression: the
+    worker nulls a same-value scale, which must not strand `retiering`)."""
+    ocean = Ocean(map_size=64, updates_per_second=0)
+    viewer = WebViewer(ocean, fps=30.0, width=64, height=36)
+    assert viewer.render_scale == 1
+    port = viewer.start(port=0)
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            state = json.loads(_get(port, "/state")[2])
+            if state["frame"] >= 2:
+                break
+            time.sleep(0.1)
+        # 3 does not divide 64: offered scales are the divisors only
+        assert state["render_scales"] == [1, 2, 4]
+        try:
+            code = _post(port, {"name": "render_scale", "value": 3})
+        except urllib.error.HTTPError as e:
+            code = e.code
+        assert code >= 400
+        f0 = state["frame"]
+        assert _post(port, {"name": "render_scale", "value": 2}) == 200
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            state = json.loads(_get(port, "/state")[2])
+            if state["render_scale"] == 2 and not state["retiering"]:
+                break
+            time.sleep(0.2)
+        assert state["render_scale"] == 2 and state["retiering"] is False
+        assert viewer._viewport.render_kwargs.get("render_scale") == 2
+        # frames keep coming at the new internal resolution
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            f1 = json.loads(_get(port, "/state")[2])["frame"]
+            if f1 > f0 + 1:
+                break
+            time.sleep(0.1)
+        assert f1 > f0 + 1
+        # no-op repost: worker must clear the busy flag, not strand it
+        assert _post(port, {"name": "render_scale", "value": 2}) == 200
+        deadline = time.time() + 30
+        while time.time() < deadline:
+            state = json.loads(_get(port, "/state")[2])
+            if not state["retiering"]:
+                break
+            time.sleep(0.1)
+        assert state["retiering"] is False
+        assert viewer.render_scale == 2
+    finally:
+        viewer.stop()
