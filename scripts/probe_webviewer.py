@@ -4,10 +4,12 @@ Starts a WebViewer (1024^2 bf16 maps, spray on) on an ephemeral port, waits
 for the sim thread to reach steady state, and samples the served-frame
 counter over a minute — the end-to-end figure the PERF.md "viewer loop"
 ledger records. An optional argv[1] of rgb|yuv420 pins the wire format
-(A/B the transfer: run once per format in the same session). Run detached
-on the TPU:
+(A/B the transfer: run once per format in the same session); an optional
+argv[2] WIDTHxHEIGHT sets the surface size (default 640x360) and argv[3]
+the render_scale (dynamic resolution — the 720p/1080p single-chip lever).
+Run detached on the TPU:
 
-    nohup python scripts/probe_webviewer.py > /tmp/probe_web.log 2>&1 &
+    nohup python scripts/probe_webviewer.py auto 1280x720 2 > /tmp/probe_web.log 2>&1 &
 """
 from __future__ import annotations
 
@@ -25,10 +27,14 @@ from godotoceanwaves_tpu.utils.webviewer import WebViewer
 
 def main():
     transfer = sys.argv[1] if len(sys.argv) > 1 else "auto"
+    width, height = (map(int, sys.argv[2].split("x"))
+                     if len(sys.argv) > 2 else (640, 360))
+    scale = int(sys.argv[3]) if len(sys.argv) > 3 else 1
     o = Ocean(map_size=1024, map_dtype="bfloat16", updates_per_second=0)
     # cap 30: the round-4 tuned render (15.5 ms) leaves the loop
     # relay-bound, not render-bound — measure the true steady state
-    v = WebViewer(o, fps=30.0, spray=True, transfer=transfer)
+    v = WebViewer(o, fps=30.0, spray=True, transfer=transfer,
+                  width=width, height=height, render_scale=scale)
     port = v.start(port=0)
     print("serving on", port, flush=True)
 
