@@ -261,6 +261,25 @@ def _scale_weights(n_full: int, n_small: int) -> np.ndarray:
     return w
 
 
+def _lift2d(img: jax.Array, row_w: jax.Array, col_w: jax.Array) -> jax.Array:
+    """Separable screen-space lift of (h, w, ch) to (H, W, ch) as TWO dots
+    with the channel axis FOLDED into M/N.
+
+    The natural 3-operand einsum `"ir,rck,jc->ijk"` leaves the ch-wide (3)
+    minor axis as a dot operand's contraction neighbor, which pads to the
+    128 MXU lane width — measured as a ~+20 ms program-context-dependent
+    pathology at 1280x720 on the v5e (docs/PERF.md render_scale). The folded
+    form is <1 ms at every swept shape. Used by both the render_scale frame
+    lift and the shade_res gradient upsample so neither can regress alone.
+    """
+    h, w, ch = img.shape
+    out_h, out_w = row_w.shape[0], col_w.shape[0]
+    a = jnp.dot(row_w, img.reshape(h, w * ch))            # (out_h, w*ch)
+    a = a.reshape(out_h, w, ch).transpose(0, 2, 1).reshape(out_h * ch, w)
+    b = jnp.dot(a, col_w.T)                               # (out_h*ch, out_w)
+    return b.reshape(out_h, ch, out_w).transpose(0, 2, 1)
+
+
 @functools.lru_cache(maxsize=32)
 def _upsample_weights(n: int, stride: int):
     """Static decimation indices + linear upsample matrix for one axis.
@@ -404,8 +423,16 @@ def render_ocean_geometry(
     negligible at the multi-chip band heights, and zero for full frames).
     """
     if render_scale > 1:
-        call = {k: v for k, v in locals().items() if k != "shade_kwargs"}
-        s = call.pop("render_scale")
+        # Rebuild the recursive call's kwargs BY SIGNATURE NAME (not raw
+        # locals() position): a renamed or newly added parameter raises
+        # KeyError here instead of silently injecting/omitting kwargs.
+        # Must stay the first statement block so locals() only holds params.
+        import inspect
+        frame = locals()
+        call = {name: frame[name]
+                for name in inspect.signature(render_ocean_geometry).parameters
+                if name not in ("render_scale", "shade_kwargs")}
+        s = render_scale
         if width % s or height % s:
             raise ValueError(
                 f"render_scale={s} needs width/height divisible by it "
@@ -417,21 +444,18 @@ def render_ocean_geometry(
                 raise ValueError(
                     f"render_scale={s} needs the rows count divisible by it "
                     f"(got {cnt})")
+            if isinstance(off, int) and off % s:
+                raise ValueError(
+                    f"render_scale={s} needs the rows offset divisible by "
+                    f"it (got offset {off}); an offset floored by //{s} "
+                    "would render a band shifted by up to s-1 rows")
             call["rows"] = (off // s, cnt // s)
             out_h = cnt
         call["width"], call["height"] = width // s, height // s
         img = render_ocean_geometry(**call, **shade_kwargs)
         row_w = jnp.asarray(_scale_weights(out_h, out_h // s))
         col_w = jnp.asarray(_scale_weights(width, width // s))
-        # two explicit dots with the RGB axis folded into M/N — a 3-wide
-        # minor contraction dim pads to the 128 MXU lane width, and the
-        # 3-operand einsum measured a ~20 ms pathology at 1280x720 on the
-        # v5e while the folded form is <1 ms (docs/PERF.md render_scale)
-        hs, ws = out_h // s, width // s
-        a = jnp.dot(row_w, img.reshape(hs, ws * 3))       # (out_h, ws*3)
-        a = a.reshape(out_h, ws, 3).transpose(0, 2, 1).reshape(out_h * 3, ws)
-        b = jnp.dot(a, col_w.T)                           # (out_h*3, width)
-        return b.reshape(out_h, 3, width).transpose(0, 2, 1)
+        return _lift2d(img, row_w, col_w)
     cam = jnp.asarray(camera_pos, jnp.float32)
     row_offset, local_h = (0, height) if rows is None else rows
     if center_xz is None:
@@ -451,6 +475,22 @@ def render_ocean_geometry(
         # docs/PERF.md); the hat-weight MXU sampler replaces them wholesale.
         # On CPU gathers are cheap and matmuls are not — keep gather there.
         sampler = "mxu" if jax.default_backend() == "tpu" else "gather"
+    if sampler == "mxu" and shade_res > 1 and width == 960 \
+            and 520 <= local_h <= 560:
+        # Known XLA/Mosaic shape pathology (docs/PERF.md round-4 shape
+        # isolation): the decimated-tap program at internal shape
+        # (960, ~540) measures ~2x every aligned neighbor (960x540 48 ms
+        # vs 1024x540 28 / 896x540 23.8 / 960x512 24.9 on the v5e);
+        # 1920x1080 render_scale=2 inherits it (internal IS 960x540 —
+        # prefer scale=3 there). Band raggedness and 8/128 divisibility do
+        # NOT discriminate; until the trigger is isolated, warn loudly at
+        # trace time (same tripwire pattern as the LOD-banding fallback).
+        import warnings
+        warnings.warn(
+            f"internal render shape {width}x{local_h} is a measured "
+            "~2x TPU shape pathology (docs/PERF.md round-4); prefer "
+            "1024x540, 896x540, or a different render_scale",
+            RuntimeWarning, stacklevel=2)
     grid = displaced_grid(maps, map_scales, coords, center_xz, cam,
                           sampler=sampler)
     if accel == "uniform" and sampler == "mxu":
@@ -616,7 +656,11 @@ def render_ocean_geometry(
             interpret=jax.default_backend() != "tpu")
     else:
         two_level = sample_hb is not sample_h
-        found0 = below_at(t0, coarse=two_level) & marchable
+        # found0 always tests the FINE table (one extra fine sample): it is
+        # kept unconditionally through refinement below (found0 | rhit), so
+        # a coarse-table false positive at t0 would otherwise shade a
+        # phantom hit pinned at the window start with no fine re-test.
+        found0 = below_at(t0) & marchable
         # found0: camera already under a crest at the window start
         found, lo, hi = bracket(t0, t1, march_steps, marchable & ~found0,
                                 coarse=two_level)
@@ -720,8 +764,7 @@ def render_ocean_geometry(
         grad = shading.cascade_gradient(maps.normal, map_scales, uv_g,
                                         sampler=sampler)
     if shade_res > 1:
-        grad = jnp.einsum("ir,rck,jc->ijk", jnp.asarray(row_w), grad,
-                          jnp.asarray(col_w))
+        grad = _lift2d(grad, jnp.asarray(row_w), jnp.asarray(col_w))
     rgb = shading.shade(grad, p[..., 1], -d, light, dist, **shade_kwargs)
     rgb = jnp.where(hit[..., None], rgb, shading.sky_color(d, light))
     if environment:

@@ -396,8 +396,19 @@ def shade(
     light_color=(1.0, 1.0, 1.0),
     roughness: float = 0.4,
     normal_strength: float = 1.0,
+    sky_ambient: bool = True,
 ) -> jax.Array:
-    """Full fragment+light shading (water.gdshader:72-127) -> linear RGB."""
+    """Full fragment+light shading (water.gdshader:72-127) -> linear RGB.
+
+    ``sky_ambient`` adds the reflected-environment term the reference gets
+    from the ENGINE, not its shader: the fragment's per-pixel write
+    ``ROUGHNESS = (1 - fresnel) * foam_factor + 0.4`` (water.gdshader:93)
+    exists solely to drive Godot's ambient/reflection pass against the
+    panorama sky (main.tscn:16-20; render_mode at water.gdshader:2 only
+    disables shadows, ambient stays on) — the view ray reflected about the
+    shading normal samples the sky radiance at that roughness's blur,
+    weighted by fresnel. ``sky_ambient=False`` reproduces the bare
+    fragment+light math (rounds 1-4 behavior; see docs/PARITY.md)."""
     water_color = jnp.asarray(water_color, jnp.float32)
     foam_color = jnp.asarray(foam_color, jnp.float32)
     light_color = jnp.asarray(light_color, jnp.float32)
@@ -447,7 +458,21 @@ def shade(
     # LIGHT_COLOR (water.gdshader:119) while DIFFUSE_LIGHT carries it
     # (:126) — sun tint colors the diffuse only; glints stay white.
     # Identical at the default white light (docs/PARITY.md).
-    return albedo * diffuse + specular[..., None]
+    rgb = albedo * diffuse + specular[..., None]
+
+    if sky_ambient:
+        # Ambient sky reflection (the engine-side consumer of the
+        # fragment's only ROUGHNESS write, water.gdshader:93): reflect the
+        # view ray about the shading normal, sample the sky radiance
+        # prefiltered by the per-pixel roughness (foam roughens -> blurs
+        # its own reflection — the roughness-foam feedback), weight by the
+        # reference's own fresnel. Sub-horizon reflections sample the
+        # panorama like Godot's sky does (it covers the full sphere).
+        rough_px = (1.0 - fresnel) * foam_factor + 0.4
+        refl = 2.0 * dot_nv[..., None] * normal - view_dir
+        rgb = rgb + sky_color_rough(refl, light_dir, rough_px) \
+            * fresnel[..., None]
+    return rgb
 
 
 def render_ocean(
@@ -575,6 +600,59 @@ def sky_color(d: jax.Array, light: jax.Array) -> jax.Array:
     sun_col = jnp.asarray([1.0, 0.95, 0.85], jnp.float32)
     return (base + sun_col * (3.0 * disk + 0.35 * bloom)
             + jnp.asarray([0.18, 0.14, 0.08]) * scatter)
+
+
+def sky_color_rough(d: jax.Array, light: jax.Array,
+                    roughness: jax.Array) -> jax.Array:
+    """`sky_color` prefiltered by a GGX reflection lobe of `roughness`.
+
+    The analytic analog of Godot's prefiltered radiance mips over the
+    panorama sky (main.tscn:16-20): the reflected-environment pass samples
+    the sky BLURRED by the surface's per-pixel roughness, which is what the
+    fragment's only ROUGHNESS write (water.gdshader:93) exists to drive.
+    Every directional term of the procedural sky is a spherical gaussian
+    exp(k(cosθ−1)); the GGX lobe at roughness a acts as an SG of sharpness
+    k_r ≈ 2/a², and SG convolution closes to sharpness k·k_r/(k+k_r) with
+    the peak scaled by k_eff/k (the lobe's energy is conserved while it
+    spreads). The zenith/horizon gradient and haze band relax toward their
+    spherical means with the same lobe width. roughness → 0 recovers
+    `sky_color` exactly (unit-tested); at the shading floor a = 0.4 the sun
+    disk is already spread into broad sheen, exactly the look of a rough
+    radiance mip.
+
+    d: (..., 3) reflection directions (normalized here); roughness: scalar
+    or (...,), clipped to [0, 1].
+    """
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    a2 = jnp.square(jnp.clip(
+        jnp.asarray(roughness, jnp.float32), 0.0, 1.0))     # (...,)
+    k_r = 2.0 / jnp.maximum(a2, 1e-9)
+
+    up = jnp.clip(d[..., 1], 0.0, 1.0)
+    # gradient/haze: low-frequency elevation terms relax toward their
+    # spherical means (clip(y,0,1) averages 1/4 over the sphere) as the
+    # lobe widens; a2 -> 0 keeps them untouched
+    t = jnp.clip(a2, 0.0, 1.0)
+    up = (up * (1.0 - t) + 0.25 * t)[..., None]
+    zenith = jnp.asarray([0.20, 0.42, 0.74], jnp.float32)
+    horizon = jnp.asarray([0.66, 0.76, 0.86], jnp.float32)
+    base = horizon + (zenith - horizon) * jnp.sqrt(up)
+    k_haze = (9.0 * k_r / (9.0 + k_r))[..., None]
+    haze = jnp.exp(-jnp.abs(d[..., 1])[..., None] * k_haze)
+    base = base * (1 - haze) + jnp.asarray([0.78, 0.82, 0.87]) * haze
+
+    cos_sun = jnp.clip(jnp.sum(d * light, axis=-1), -1.0, 1.0)[..., None]
+
+    def lobe(k, amp):
+        k_eff = k * k_r / (k + k_r)
+        return (amp * k_eff / k)[..., None] * jnp.exp(
+            (cos_sun - 1.0) * k_eff[..., None])
+
+    sun_col = jnp.asarray([1.0, 0.95, 0.85], jnp.float32)
+    sun = lobe(jnp.float32(6000.0), 3.0 * jnp.ones_like(a2)) \
+        + 0.35 * lobe(jnp.float32(80.0), jnp.ones_like(a2))
+    scatter = lobe(jnp.float32(6.0), jnp.ones_like(a2))
+    return base + sun_col * sun + jnp.asarray([0.18, 0.14, 0.08]) * scatter
 
 
 @functools.lru_cache(maxsize=2)

@@ -310,21 +310,24 @@ class WebViewer:
         self.width = width
         self.height = height
         self.flat = flat
-        if render_scale > 1 and (width % render_scale
-                                 or height % render_scale):
-            raise ValueError(
-                f"render_scale={render_scale} needs width/height divisible "
-                f"by it (got {width}x{height})")
         # dynamic resolution (geometry.render_ocean_geometry render_scale):
         # march/shade at 1/s and upsample on device — for high output
         # resolutions where one chip's render budget, not the relay link,
         # caps the rate. Ignored on the flat path. Editable live from the
         # panel combo (same async warm+swap as a tier change); the combo
         # offers only divisors of this viewer's fixed output size.
-        self.render_scale = render_scale
         self._valid_render_scales = [1] if flat else [
             s for s in (1, 2, 3, 4)
             if s == 1 or (width % s == 0 and height % s == 0)]
+        # the constructor accepts exactly what the panel combo offers, so
+        # /state's reported scale always matches what actually renders
+        # (flat=True ignores render_scale entirely — only 1 is valid there)
+        if render_scale not in self._valid_render_scales:
+            raise ValueError(
+                f"render_scale={render_scale} not in "
+                f"{self._valid_render_scales} for "
+                f"{width}x{height} (flat={flat})")
+        self.render_scale = render_scale
         if transfer not in ("auto", "rgb", "yuv420"):
             raise ValueError(f"unknown transfer {transfer!r}")
         self.transfer = transfer

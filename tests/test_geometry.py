@@ -129,6 +129,44 @@ def test_render_scale_dynamic_resolution(ocean_maps):
         geometry.render_ocean_geometry(maps, scales, "low", width=W,
                                        height=H, render_scale=2,
                                        rows=(0, H // 2 + 1), **kw)
+    # ... and so is a static rows OFFSET not divisible by the scale (a
+    # floored offset would render a band shifted by up to s-1 rows)
+    with pytest.raises(ValueError, match="offset"):
+        geometry.render_ocean_geometry(maps, scales, "low", width=W,
+                                       height=H, render_scale=2,
+                                       rows=(1, H // 2), **kw)
+
+
+def test_lift2d_matches_reference_einsum():
+    """The folded two-dot lift (render_scale + shade_res upsample) is
+    numerically the 3-operand einsum it replaced (docs/PERF.md
+    render_scale: the einsum had a +20 ms TPU shape pathology)."""
+    rng = np.random.default_rng(3)
+    img = jnp.asarray(rng.normal(size=(9, 13, 3)).astype(np.float32))
+    row_w = jnp.asarray(rng.normal(size=(18, 9)).astype(np.float32))
+    col_w = jnp.asarray(rng.normal(size=(26, 13)).astype(np.float32))
+    got = geometry._lift2d(img, row_w, col_w)
+    want = jnp.einsum("ir,rck,jc->ijk", row_w, img, col_w)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_960x540_shape_pathology_tripwire(ocean_maps):
+    """The measured (960, ~540) TPU shape pathology (docs/PERF.md round-4
+    shape isolation) warns at trace time on the decimated-tap mxu path —
+    the same loud-tripwire pattern as the LOD banding fallback."""
+    maps, scales = ocean_maps
+    kw = dict(march_steps=8, bisect_steps=3, shade_res=2, sampler="mxu",
+              **CAM)
+    with pytest.warns(RuntimeWarning, match="pathology"):
+        jax.eval_shape(lambda: geometry.render_ocean_geometry(
+            maps, scales, "low", width=960, height=540, **kw))
+    # the aligned neighbor shape stays silent
+    import warnings as _w
+    with _w.catch_warnings():
+        _w.simplefilter("error", RuntimeWarning)
+        jax.eval_shape(lambda: geometry.render_ocean_geometry(
+            maps, scales, "low", width=1024, height=540, **kw))
 
 
 def test_zero_displacement_reduces_to_flat_plane(ocean_maps):

@@ -99,8 +99,11 @@ def test_shade_specular_untinted_by_light_color():
     h = jnp.zeros(grad.shape[:-1])
 
     def shade(lc):
+        # sky_ambient=False: this test pins the BARE fragment+light math
+        # (the sky reflection term is light_color-independent and colored,
+        # so it would mask the channel-uniform bare specular)
         return np.asarray(shading.shade(grad, h, view, light, dist,
-                                        light_color=lc))
+                                        light_color=lc, sky_ambient=False))
 
     spec = shade((0.0, 0.0, 0.0))
     # bare specular: untinted => identical channels, and nonzero somewhere
@@ -114,6 +117,60 @@ def test_shade_specular_untinted_by_light_color():
     diffuse_part = white - spec
     expect = diffuse_part * np.asarray([1.0, 0.5, 0.25]) + spec
     np.testing.assert_allclose(tinted, expect, rtol=1e-5, atol=1e-6)
+
+
+def test_sky_color_rough_zero_roughness_is_sky_color():
+    """`sky_color_rough` at roughness 0 IS `sky_color` — the SG prefilter
+    closes exactly when the reflection lobe is a delta."""
+    rng = np.random.default_rng(11)
+    d = rng.normal(size=(64, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    light = jnp.asarray([0.3, 0.55, 0.9]) / np.sqrt(0.3**2 + 0.55**2 + 0.9**2)
+    got = shading.sky_color_rough(jnp.asarray(d), light, jnp.float32(0.0))
+    want = shading.sky_color(jnp.asarray(d), light)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_sky_color_rough_blurs_the_sun():
+    """Raising roughness spreads the sun lobe: radiance AT the sun drops,
+    radiance 20 degrees away rises, and total stays finite/positive —
+    the radiance-mip behavior the reference gets from Godot's sky."""
+    light = np.asarray([0.0, 0.5, np.sqrt(0.75)], np.float32)
+    off = np.asarray([np.sin(np.deg2rad(20.0)), 0.5, 0.0], np.float32)
+    off[2] = np.sqrt(max(1.0 - off[0]**2 - off[1]**2, 0.0))
+    # rotate `off` to be 20 deg from light in the same elevation band
+    c = np.cos(np.deg2rad(20.0))
+    off = c * light + np.sqrt(1 - c * c) * np.asarray([1.0, 0.0, 0.0])
+    d = jnp.asarray(np.stack([light, off]))
+    lo = np.asarray(shading.sky_color_rough(d, jnp.asarray(light), jnp.float32(0.05)))
+    hi = np.asarray(shading.sky_color_rough(d, jnp.asarray(light), jnp.float32(0.8)))
+    assert hi[0].sum() < lo[0].sum()      # peak at the sun drops
+    assert hi[1].sum() > lo[1].sum()      # 20 deg off-axis gains energy
+    assert np.isfinite(lo).all() and np.isfinite(hi).all()
+    assert (lo >= 0).all() and (hi >= 0).all()
+
+
+def test_shade_sky_ambient_fresnel_weighted():
+    """The reflected-sky term (water.gdshader:93's engine-side consumer) is
+    fresnel-weighted: near-zero at foam-free normal incidence (only the
+    0.02 reflectance floor), growing steeply at grazing angles."""
+    grad = jnp.zeros((2, 3))               # flat, foam-free surface
+    h = jnp.zeros((2,))
+    light = jnp.asarray([0.0, 0.7, 0.714]) / np.sqrt(0.7**2 + 0.714**2)
+    dist = jnp.full((2,), 30.0)
+    # view 0: straight down (normal incidence); view 1: grazing
+    view = jnp.asarray([[0.0, 1.0, 0.0],
+                        [0.0, 0.05, -1.0]])
+    view = view / jnp.linalg.norm(view, axis=-1, keepdims=True)
+
+    on = np.asarray(shading.shade(grad, h, view, light, dist))
+    offv = np.asarray(shading.shade(grad, h, view, light, dist,
+                                    sky_ambient=False))
+    sky_term = np.abs(on - offv).sum(-1)
+    assert sky_term[0] < 0.05              # ~REFLECTANCE floor only
+    assert sky_term[1] > 5.0 * sky_term[0]  # grazing fresnel dominates
+    assert np.isfinite(on).all()
 
 
 @pytest.mark.slow

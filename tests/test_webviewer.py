@@ -474,6 +474,22 @@ def test_webviewer_combined_size_and_tier_warm_swaps_atomically():
         np.array([0.0, 9.0, 0.0], np.float32), -14.0, 0.0))
     assert np.isfinite(img.astype(np.float32)).all()
 
+def test_webviewer_constructor_validates_render_scale():
+    """The constructor accepts exactly the scales the panel combo offers —
+    /state's reported scale always matches what actually renders (an
+    out-of-combo scale like 5, or any scale with flat=True, is a loud
+    error, not a silently divergent report)."""
+    ocean = Ocean(map_size=64, updates_per_second=0)
+    with pytest.raises(ValueError, match="render_scale=5"):
+        WebViewer(ocean, width=60, height=30, render_scale=5)
+    with pytest.raises(ValueError, match="flat=True"):
+        WebViewer(ocean, width=64, height=36, flat=True, render_scale=2)
+    # valid combo values still construct
+    v = WebViewer(ocean, width=64, height=36, render_scale=2)
+    assert v.render_scale == 2
+    assert v._viewport.render_kwargs.get("render_scale") == 2
+
+
 @pytest.mark.slow
 def test_webviewer_render_scale_switch_async():
     """The panel's render-scale combo (dynamic resolution): /state lists
