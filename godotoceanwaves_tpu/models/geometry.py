@@ -246,19 +246,55 @@ def _pick_nbands(height: int, target: int = 16) -> int:
 
 
 @functools.lru_cache(maxsize=32)
-def _scale_weights(n_full: int, n_small: int) -> np.ndarray:
-    """(n_full, n_small) bilinear weight matrix lifting a frame rendered at
-    a reduced internal resolution back to output resolution (pixel-center
-    aligned, edges clamped). Used by `render_scale`; rows are 2-sparse and
-    convex, so the upsample is one small einsum and preserves [0, 1]."""
+def _scale_weights(n_full: int, n_small: int,
+                   kind: str = "linear") -> np.ndarray:
+    """(n_full, n_small) weight matrix lifting a frame rendered at a reduced
+    internal resolution back to output resolution (pixel-center aligned,
+    edges clamped). Used by `render_scale`; the runtime cost is the SAME for
+    every kind (one dense matrix through the two-dot `_lift2d`).
+
+    kind="linear": 2-sparse convex hat rows (preserves [0, 1]).
+    kind="catrom": 4-sparse Catmull-Rom rows — reproduces cubics on the
+    interior, so the lift keeps edge/sparkle contrast bilinear smears; rows
+    sum to 1 but carry negative lobes (overshoot is bounded by the caller's
+    local min/max clamp, `_pool3`)."""
     x = (np.arange(n_full) + 0.5) * (n_small / n_full) - 0.5
-    lo = np.clip(np.floor(x).astype(np.int64), 0, n_small - 1)
-    hi = np.minimum(lo + 1, n_small - 1)
-    frac = np.clip(x - lo, 0.0, 1.0).astype(np.float32)
     w = np.zeros((n_full, n_small), np.float32)
-    np.add.at(w, (np.arange(n_full), lo), 1.0 - frac)
-    np.add.at(w, (np.arange(n_full), hi), frac)
+    if kind == "linear":
+        lo = np.clip(np.floor(x).astype(np.int64), 0, n_small - 1)
+        hi = np.minimum(lo + 1, n_small - 1)
+        frac = np.clip(x - lo, 0.0, 1.0).astype(np.float32)
+        np.add.at(w, (np.arange(n_full), lo), 1.0 - frac)
+        np.add.at(w, (np.arange(n_full), hi), frac)
+    elif kind == "catrom":
+        b = np.floor(x).astype(np.int64)
+        f = (x - b).astype(np.float32)
+        f2, f3 = f * f, f * f * f
+        taps = ((-1, 0.5 * (-f + 2 * f2 - f3)),
+                (0, 0.5 * (2 - 5 * f2 + 3 * f3)),
+                (1, 0.5 * (f + 4 * f2 - 3 * f3)),
+                (2, 0.5 * (f3 - f2)))
+        for off, ww in taps:
+            idx = np.clip(b + off, 0, n_small - 1)
+            np.add.at(w, (np.arange(n_full), idx), ww)
+    else:
+        raise ValueError(f"unknown lift kind {kind!r}")
     return w
+
+
+def _pool3(img: jax.Array, op) -> jax.Array:
+    """3x3 neighborhood reduction of (h, w, ch) with clamped edges (op =
+    jnp.minimum / jnp.maximum) — the local bound for the catrom lift's
+    anti-ringing clamp. Nine elementwise ops on the SMALL internal frame."""
+    h, w, _ = img.shape
+    p = jnp.pad(img, ((1, 1), (1, 1), (0, 0)), mode="edge")
+    out = img
+    for dy in range(3):
+        for dx in range(3):
+            if dy == 1 and dx == 1:
+                continue
+            out = op(out, p[dy:dy + h, dx:dx + w])
+    return out
 
 
 def _lift2d(img: jax.Array, row_w: jax.Array, col_w: jax.Array) -> jax.Array:
@@ -313,6 +349,100 @@ def _upsample_weights(n: int, stride: int):
     return pos_a, w
 
 
+def _fan_select(sample_h, cam, d, t0, t1, marchable,
+                far: float, phi_res: int, tau_res: int, rows_group: int,
+                frame_height: int, heading, rel_range,
+                tau_near: float = 0.25):
+    """Polar fan bracket: the whole march reduced to one profile matmul.
+
+    Every pixel's ground track is a straight ray from the camera's xz
+    position, so the heightfield along ALL candidate march positions lives
+    on a (heading phi x horizontal-distance tau) polar fan table sampled
+    ONCE per frame (phi_res x tau_res points — ~100x fewer map samples than
+    per-pixel-per-step marching). Each pixel's depth profile is a 2-sparse
+    hat interpolation across the phi axis — one (P, phi)x(phi, tau) MXU
+    matmul, amortized over `rows_group`-row groups (heading varies by
+    <~0.1 deg inside a group at the shipped poses; the lateral snap is far
+    below the march table's 2 m cells) — and the bracket itself is a fused
+    elementwise compare + first-crossing min-reduce on the VPU: ZERO
+    per-pixel map sampling. tau is log-spaced (static values), so the
+    previous grid point is a multiply, not a gather. The caller re-tests
+    the returned (t_lo, t_hi] segment on the fine world table (the same
+    demote-on-refute semantics as the two-level bracket_res march), which
+    keeps landed geometry at world-table accuracy.
+
+    Resolution: laterally the fan (fov/phi_res, e.g. 0.27 deg at 256) is
+    strictly finer than the 2 m march-table cells everywhere nearer than
+    ~400 m; in depth the log grid (~2.75% of tau at 320) is finer than the
+    current (window/march_steps) stride at every swept pose. Rays steeper
+    than ~atan(cam_y/tau_near) below horizontal can alias the near cutoff
+    (tau < tau_near is only covered by the window-start test the caller
+    runs) — irrelevant until pitch approaches straight down.
+
+    `heading` = (mx, mz) center heading and `rel_range` = (lo_a, hi_a)
+    heading extremes MUST come from band-independent quantities (the yaw
+    forward direction and the FULL frame's corner rays): a `rows` band must
+    build the SAME fan as the dense frame or the multi-chip bands diverge.
+    `frame_height` (the full frame's rows) calibrates the angular group
+    size the same way for every band.
+
+    Returns (found, t_lo, t_hi): bracket segment in ray-parameter units.
+    """
+    hgt, wid = d.shape[:2]
+    dxz = jnp.maximum(jnp.sqrt(d[..., 0] ** 2 + d[..., 2] ** 2), 1e-6)
+    s = d[..., 1] / dxz                       # dy per horizontal meter
+    ux, uz = d[..., 0] / dxz, d[..., 2] / dxz
+    mx, mz = heading
+    rel = jnp.arctan2(ux * mz - uz * mx, ux * mx + uz * mz)
+    lo_a, hi_a = rel_range
+    dphi = (hi_a - lo_a) / (phi_res - 1) + 1e-9
+    ang = lo_a + jnp.arange(phi_res, dtype=jnp.float32) * dphi
+    ca, sa = jnp.cos(ang), jnp.sin(ang)
+    fux, fuz = mx * ca + mz * sa, mz * ca - mx * sa
+    tau = jnp.asarray(np.geomspace(tau_near, far, tau_res,
+                                   dtype=np.float32))
+    hfan = sample_h(cam[0] + fux[:, None] * tau[None, :],
+                    cam[2] + fuz[:, None] * tau[None, :])   # (phi, tau)
+
+    # rows_group is calibrated at 720 rows (~0.4 deg of heading drift per
+    # group at fov 70); scale with the FULL frame height so the ANGULAR
+    # snap — the actual error term — is resolution-independent, then take
+    # the largest divisor of the local row count (groups must tile the
+    # band; a sharded band's offset is a multiple of its count, so group
+    # boundaries land on the same full-frame rows on every device).
+    g_target = max(1, (rows_group * frame_height) // 720)
+    g = 1
+    for cand_g in range(min(g_target, hgt), 0, -1):
+        if hgt % cand_g == 0:
+            g = cand_g
+            break
+    a = jnp.clip((rel - lo_a) / dphi, 0.0, phi_res - 1)
+    ag = a.reshape(hgt // g, g, wid).mean(axis=1)            # (H/g, W)
+    iota = jnp.arange(phi_res, dtype=jnp.float32)
+    wphi = jnp.maximum(0.0, 1.0 - jnp.abs(ag[..., None] - iota))
+    # profile stays f32: near-grazing crossings are height-sensitive (a
+    # 2 cm bf16 rounding shifts a slope-0.01 crossing by 2 m of tau), and
+    # the matmul is small enough (~(P/8) x phi x tau) that f32 MXU passes
+    # cost well under a millisecond at 720p
+    prof = jnp.einsum("hwf,fj->hwj", wphi, hfan,
+                      preferred_element_type=jnp.float32)    # (H/g, W, J)
+
+    tau0 = (t0 * dxz).reshape(hgt // g, g, wid)[..., None]
+    tau1 = (t1 * dxz).reshape(hgt // g, g, wid)[..., None]
+    sy = s.reshape(hgt // g, g, wid)[..., None]
+    below = cam[1] + sy * tau < prof[:, None]                # (H/g,g,W,J)
+    cand = below & (tau > tau0) & (tau <= tau1) \
+        & marchable.reshape(hgt // g, g, wid)[..., None]
+    tsel = jnp.min(jnp.where(cand, tau, jnp.inf),
+                   axis=-1).reshape(hgt, wid)
+    found = jnp.isfinite(tsel) & marchable
+    ratio = float(np.exp(-np.log(far / tau_near) / (tau_res - 1)))
+    tsel = jnp.where(found, tsel, 1.0)       # keep inf out of the algebra
+    t_hi = jnp.where(found, tsel / dxz, t1)
+    t_lo = jnp.where(found, jnp.maximum(t0, t_hi * ratio), t0)
+    return found, t_lo, t_hi
+
+
 def camera_rays(width: int, height: int, pitch_deg, yaw_deg, fov_deg,
                 row_offset=0, row_count: int | None = None):
     """Pixel ray directions (H, W, 3) for the FlyCamera basis convention
@@ -362,7 +492,10 @@ def render_ocean_geometry(
     march_res: int = 256,       # mxu march-table resolution (2 m cells)
     bracket_res: int = 0,       # coarse table for the BRACKET march (0=off)
     invert_res: int = 0,        # chop-only table for the UV inversion (0=off)
-    march_impl: str = "auto",   # "auto" | "pallas" (fused kernel) | "xla"
+    march_impl: str = "auto",   # "auto" | "fan" | "xla" | "pallas"
+    fan_phi: int = 256,         # fan march: heading-axis resolution
+    fan_tau: int = 320,         # fan march: log-depth-axis resolution
+    fan_rows: int = 8,          # fan march: rows sharing one profile
     gradient_lod: bool = True,  # screen-space mip LOD for the gradient taps
     lod_bands: int = 16,        # max horizontal LOD bands (must divide H)
     lod_levels: int = 4,        # max mip pyramid depth for the LOD taps
@@ -370,6 +503,7 @@ def render_ocean_geometry(
     shade_res: int = 1,         # gradient taps every s-th pixel, upsampled
     render_scale: int = 1,      # dynamic resolution: render at 1/s, upsample
     rows=None,                  # (row_offset, row_count) band of the frame
+    lift: str = "catrom",       # render_scale filter: "catrom" | "linear"
     **shade_kwargs,
 ) -> jax.Array:
     """Perspective render of the DISPLACED clipmap mesh -> (H, W, 3) RGB.
@@ -414,13 +548,17 @@ def render_ocean_geometry(
     `render_scale=s` (s > 1) is dynamic resolution — the TPU analog of
     Godot's 3D viewport render scale: the ENTIRE pipeline (march, UV
     inversion, gradient taps, shading, sky) runs at width/s x height/s and
-    the finished frame is bilinearly lifted back on-device (one small
-    einsum pair). Unlike `shade_res` (which decimates only the gradient
+    the finished frame is lifted back on-device (one small matmul pair;
+    `lift` picks the filter — "catrom" 4-tap Catmull-Rom with a 3x3
+    anti-ringing clamp (default), "linear" the plain bilinear hat — both
+    cost the same at runtime). Unlike `shade_res` (which decimates only the gradient
     taps), everything scales, so the cost drops ~s^2; the LOD criterion
     sees the honestly wider internal pixel. Requires width, height (and a
     static `rows` window) divisible by s; with `rows`, each band upsamples
-    independently with clamped edges (a <=1-px seam softening per band —
-    negligible at the multi-chip band heights, and zero for full frames).
+    independently with clamped edges (a seam softening of <=s px for
+    lift="linear", <=3s px for "catrom" (4-tap footprint + clamp window)
+    per band boundary — negligible at the multi-chip band heights, and
+    zero for full frames).
     """
     if render_scale > 1:
         # Rebuild the recursive call's kwargs BY SIGNATURE NAME (not raw
@@ -453,9 +591,19 @@ def render_ocean_geometry(
             out_h = cnt
         call["width"], call["height"] = width // s, height // s
         img = render_ocean_geometry(**call, **shade_kwargs)
-        row_w = jnp.asarray(_scale_weights(out_h, out_h // s))
-        col_w = jnp.asarray(_scale_weights(width, width // s))
-        return _lift2d(img, row_w, col_w)
+        row_w = jnp.asarray(_scale_weights(out_h, out_h // s, lift))
+        col_w = jnp.asarray(_scale_weights(width, width // s, lift))
+        out = _lift2d(img, row_w, col_w)
+        if lift == "catrom":
+            # anti-ringing: Catmull-Rom's negative lobes overshoot at hard
+            # edges (specular sparkle); clamp each output pixel to its 3x3
+            # internal-frame neighborhood extremes (nearest-lifted — integer
+            # scale, so jnp.repeat). Ringing is never "right", while the
+            # kept mid-range sharpening is the filter's whole point.
+            mn = jnp.repeat(jnp.repeat(_pool3(img, jnp.minimum), s, 0), s, 1)
+            mx = jnp.repeat(jnp.repeat(_pool3(img, jnp.maximum), s, 0), s, 1)
+            out = jnp.clip(out, mn, mx)
+        return out
     cam = jnp.asarray(camera_pos, jnp.float32)
     row_offset, local_h = (0, height) if rows is None else rows
     if center_xz is None:
@@ -638,13 +786,49 @@ def render_ocean_geometry(
                 jnp.where(hit, t_first, hi))
 
     if march_impl == "auto":
-        # measured dead end (docs/PERF.md "Geometry render"): the fused
-        # Pallas march kernel (ops/pallas_march.py) LOSES to the staged XLA
-        # march (~18 ms vs ~7 ms at 640x360) — XLA's batched hat-weight
-        # einsums already run near the MXU roofline here. The kernel stays
-        # as the documented negative result; auto always picks xla.
-        march_impl = "xla"
-    if march_impl == "pallas":
+        # the polar fan march replaces per-pixel-per-step map sampling with
+        # one fan table + one profile matmul + a fused VPU compare (see
+        # _fan_select); it needs the uniform-accel sample windows. The
+        # Pallas kernel is a measured dead end (docs/PERF.md "Geometry
+        # render": ~18 ms vs XLA ~7 ms — MXU-roofline einsums don't fuse
+        # profitably); "xla" remains the dense per-pixel reference path.
+        march_impl = "fan" if accel == "uniform" else "xla"
+    if march_impl == "fan":
+        assert accel == "uniform", \
+            "march_impl='fan' requires the uniform-accel path"
+        # band-independent fan frame: center heading from yaw, heading
+        # range from the FULL frame's corner rays (headings are monotone
+        # in both screen axes for forward-facing fovs, so the corners are
+        # the extremes) — every `rows` band builds the SAME fan table.
+        yaw_r = jnp.deg2rad(jnp.asarray(yaw_deg, jnp.float32))
+        mx, mz = -jnp.sin(yaw_r), jnp.cos(yaw_r)
+        dc = jnp.concatenate([
+            camera_rays(width, height, pitch_deg, yaw_deg, fov_deg,
+                        row_offset=r, row_count=1)[:, jnp.array([0, -1])]
+            for r in (0, height - 1)])                    # (2, 2, 3)
+        cux = dc[..., 0] / jnp.maximum(
+            jnp.sqrt(dc[..., 0] ** 2 + dc[..., 2] ** 2), 1e-6)
+        cuz = dc[..., 2] / jnp.maximum(
+            jnp.sqrt(dc[..., 0] ** 2 + dc[..., 2] ** 2), 1e-6)
+        crel = jnp.arctan2(cux * mz - cuz * mx, cux * mx + cuz * mz)
+        span = jnp.maximum(jnp.max(jnp.abs(crel)), 1e-3)
+        fsel, flo, fhi = _fan_select(sample_h, cam, d, t0, t1, marchable,
+                                     far, fan_phi, fan_tau, fan_rows,
+                                     height, (mx, mz), (-span, span))
+        # Re-test the fan's (t_lo, t_hi] segment on the fine world table:
+        # the sub-samples land the hit at world-table accuracy, and a fan
+        # bracket the fine table refutes demotes to the far-field miss
+        # path (same semantics as the two-level bracket_res march). The
+        # fan bracket is already ~40x tighter than an xla coarse bracket
+        # (one log-tau cell vs window/march_steps), so a handful of taps
+        # reach the old precision — each tap is a full per-pixel P x G^2
+        # contraction, the dominant fan-mode cost. Camera-under-crest
+        # pixels need no dedicated window-start tap here: the fan's near
+        # field is centimeter-resolved (log tau from 0.25 m), so they
+        # bracket at the first in-window fan sample and the re-test pins
+        # them against the fine table like everything else.
+        found, lo, hi = bracket(flo, fhi, max(2, bisect_steps - 2), fsel)
+    elif march_impl == "pallas":
         assert accel == "uniform" and sampler == "mxu" and \
             march_chop_iters == 0, \
             "march_impl='pallas' requires the uniform/mxu/no-march-chop path"

@@ -108,7 +108,10 @@ def test_render_scale_dynamic_resolution(ocean_maps):
     corr = np.corrcoef(native.ravel(), scaled.ravel())[0, 1]
     assert corr > 0.9, f"scaled render decorrelated from native ({corr:.3f})"
     # row bands (the multi-chip sharding unit) reproduce the full frame's
-    # interiors exactly; only the <=1-px clamped seam may differ
+    # interiors exactly; only the clamped seam at the interior band
+    # boundary may differ (<=3s rows each side for the catrom lift:
+    # 4-tap footprint + 3x3 anti-ringing clamp window). The OUTER frame
+    # edges clamp identically in band and full renders, so they match.
     a = np.asarray(geometry.render_ocean_geometry(
         maps, scales, "low", width=W, height=H, render_scale=2,
         rows=(0, H // 2), **kw))
@@ -117,9 +120,10 @@ def test_render_scale_dynamic_resolution(ocean_maps):
         rows=(H // 2, H // 2), **kw))
     bands = np.concatenate([a, b], axis=0)
     assert bands.shape == scaled.shape
-    hh = H // 2
-    np.testing.assert_allclose(bands[2:hh - 2], scaled[2:hh - 2], atol=1e-5)
-    np.testing.assert_allclose(bands[hh + 2:H - 2], scaled[hh + 2:H - 2],
+    hh, seam = H // 2, 6
+    np.testing.assert_allclose(bands[:hh - seam], scaled[:hh - seam],
+                               atol=1e-5)
+    np.testing.assert_allclose(bands[hh + seam:], scaled[hh + seam:],
                                atol=1e-5)
     # indivisible sizes are a loud error, not a silent crop
     with pytest.raises(ValueError):
@@ -135,6 +139,80 @@ def test_render_scale_dynamic_resolution(ocean_maps):
         geometry.render_ocean_geometry(maps, scales, "low", width=W,
                                        height=H, render_scale=2,
                                        rows=(1, H // 2), **kw)
+
+
+def test_fan_march_accuracy_and_band_exactness(ocean_maps):
+    """Polar fan march (geometry._fan_select): at the silhouette-heavy low
+    pose it must land AT LEAST as close to an oversampled dense march as
+    the default xla bracket (on CPU it measured ~3x closer — the log-tau
+    grid out-resolves window/march_steps striding), stay finite, and build
+    a band-INDEPENDENT fan (heading frame from yaw + full-frame corners),
+    so a rows band reproduces the dense frame exactly when the row groups
+    align (g=1 at these test heights)."""
+    maps, scales = ocean_maps
+    kw = dict(light_dir=LIGHT, march_steps=20, bisect_steps=6, **CAM)
+    ref = np.asarray(geometry.render_ocean_geometry(
+        maps, scales, "low", width=W, height=H, march_impl="xla",
+        **{**kw, "march_steps": 120, "bisect_steps": 12}))
+    xla = np.asarray(geometry.render_ocean_geometry(
+        maps, scales, "low", width=W, height=H, march_impl="xla", **kw))
+    fan = np.asarray(geometry.render_ocean_geometry(
+        maps, scales, "low", width=W, height=H, march_impl="fan", **kw))
+    assert np.isfinite(fan).all()
+    rms_fan = float(np.sqrt(((fan - ref) ** 2).mean()))
+    rms_xla = float(np.sqrt(((xla - ref) ** 2).mean()))
+    assert rms_fan <= rms_xla * 1.25 + 1e-4, (rms_fan, rms_xla)
+    # rows band == dense rows (the multi-chip invariant)
+    band = np.asarray(geometry.render_ocean_geometry(
+        maps, scales, "low", width=W, height=H, march_impl="fan",
+        rows=(H // 4, H // 4), **kw))
+    np.testing.assert_array_equal(band, fan[H // 4: H // 2])
+
+
+def test_catrom_lift_weights():
+    """Catmull-Rom lift rows are a partition of unity, reproduce linear
+    ramps exactly on the interior (degree->cubic reproduction), and beat
+    bilinear on a curved signal — the render_scale quality upgrade."""
+    w = geometry._scale_weights(64, 16, "catrom")
+    np.testing.assert_allclose(w.sum(axis=1), 1.0, atol=1e-6)
+    # linear ramp: exact wherever the 4-tap footprint stays interior
+    ramp = np.arange(16, dtype=np.float32)
+    out = w @ ramp
+    x = (np.arange(64) + 0.5) * (16 / 64) - 0.5
+    interior = (x >= 1.0) & (x <= 14.0)
+    np.testing.assert_allclose(out[interior], x[interior], atol=1e-5)
+    # curved signal: catrom reconstructs closer than bilinear (coarse
+    # samples taken at the lift's own pixel-center-aligned positions)
+    xs = (np.arange(16) + 0.5) * (64 / 16) - 0.5
+    coarse = np.sin(xs / 63.0 * 3.0 * np.pi).astype(np.float32)
+    lin = geometry._scale_weights(64, 16, "linear") @ coarse
+    cat = w @ coarse
+    tgt = np.sin(np.arange(64) / 63.0 * 3.0 * np.pi)
+    assert np.abs(cat - tgt)[4:-4].mean() < np.abs(lin - tgt)[4:-4].mean()
+    with pytest.raises(ValueError, match="lift"):
+        geometry._scale_weights(8, 4, "lanczos")
+
+
+def test_catrom_lift_antiringing_clamp(ocean_maps):
+    """The catrom render_scale lift never overshoots its 3x3 internal-frame
+    neighborhood (anti-ringing clamp), and stays within [0, 1] whenever the
+    internal render does."""
+    maps, scales = ocean_maps
+    kw = dict(light_dir=LIGHT, march_steps=12, bisect_steps=3, **CAM)
+    img = np.asarray(geometry.render_ocean_geometry(
+        maps, scales, "low", width=W, height=H, render_scale=2,
+        lift="catrom", **kw))
+    small = np.asarray(geometry.render_ocean_geometry(
+        maps, scales, "low", width=W // 2, height=H // 2, **kw))
+    assert img.min() >= small.min() - 1e-6
+    assert img.max() <= small.max() + 1e-6
+    # pixel-level: each output within its 3x3 small-frame neighborhood
+    import jax.numpy as jnp
+    mn = np.repeat(np.repeat(np.asarray(
+        geometry._pool3(jnp.asarray(small), jnp.minimum)), 2, 0), 2, 1)
+    mx = np.repeat(np.repeat(np.asarray(
+        geometry._pool3(jnp.asarray(small), jnp.maximum)), 2, 0), 2, 1)
+    assert (img >= mn - 1e-5).all() and (img <= mx + 1e-5).all()
 
 
 def test_lift2d_matches_reference_einsum():

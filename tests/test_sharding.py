@@ -256,12 +256,13 @@ def test_render_geometry_sharded_render_scale():
                                              height=64, axes="rows", **kw))
     assert got.shape == dense.shape == (64, 64, 3)
     # interiors of each 32-row band agree; the clamped upsample seam at the
-    # band boundary may differ by one output pixel row on each side, and
-    # the band's (32, 16) upsample matmul accumulates in a different order
-    # than the dense frame's (64, 32) one (~5e-4 on [0,1] colors — well
-    # under a uint8 quantization step)
-    np.testing.assert_allclose(got[2:30], dense[2:30], atol=1e-3)
-    np.testing.assert_allclose(got[34:62], dense[34:62], atol=1e-3)
+    # band boundary may differ by <=3s=6 output rows on each side (catrom
+    # 4-tap footprint + 3x3 anti-ringing clamp window), and the band's
+    # (32, 16) upsample matmul accumulates in a different order than the
+    # dense frame's (64, 32) one (~5e-4 on [0,1] colors — well under a
+    # uint8 quantization step)
+    np.testing.assert_allclose(got[:26], dense[:26], atol=1e-3)
+    np.testing.assert_allclose(got[38:], dense[38:], atol=1e-3)
 
 
 def test_render_geometry_sharded_rejects_indivisible_height():
