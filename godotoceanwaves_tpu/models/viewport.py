@@ -133,15 +133,16 @@ class SceneRenderer:
         # (introspection for the viewers' live reconfiguration)
         self.render_kwargs = dict(render_kwargs)
 
-        def scene(maps, scales, wc, fc, pos, pitch, yaw):
+        def scene(maps, scales, wc, fc, pos, pitch, yaw, fov):
             if flat:
                 return shading.render_ocean(
                     maps, scales, width=width, height=height,
                     camera_pos=pos, pitch_deg=pitch, yaw_deg=yaw,
-                    environment=environment, water_color=wc, foam_color=fc)
+                    fov_deg=fov, environment=environment, water_color=wc,
+                    foam_color=fc)
             return geometry.render_ocean_geometry(
                 maps, scales, mesh_quality, width=width, height=height,
-                camera_pos=pos, pitch_deg=pitch, yaw_deg=yaw,
+                camera_pos=pos, pitch_deg=pitch, yaw_deg=yaw, fov_deg=fov,
                 environment=environment, march_steps=march_steps,
                 bisect_steps=bisect_steps, water_color=wc, foam_color=fc,
                 **render_kwargs)
@@ -152,33 +153,38 @@ class SceneRenderer:
                 return _rgb_to_yuv420(srgb)
             return srgb.astype(jnp.uint8)
 
-        def render(maps, scales, wc, fc, pos, pitch, yaw):
-            return quantize(scene(maps, scales, wc, fc, pos, pitch, yaw))
+        def render(maps, scales, wc, fc, pos, pitch, yaw, fov):
+            return quantize(scene(maps, scales, wc, fc, pos, pitch, yaw,
+                                  fov))
 
-        def render_spray(maps, scales, wc, fc, pos, pitch, yaw, attrs):
-            img = scene(maps, scales, wc, fc, pos, pitch, yaw)
+        def render_spray(maps, scales, wc, fc, pos, pitch, yaw, fov, attrs):
+            img = scene(maps, scales, wc, fc, pos, pitch, yaw, fov)
             img = shading.splat_spray(
                 img, attrs["position"], attrs["scale"], attrs["dissolve"],
                 attrs["visible"], camera_pos=pos, pitch_deg=pitch,
-                yaw_deg=yaw, foam_color=fc, custom_z=attrs["custom_z"])
+                yaw_deg=yaw, fov_deg=fov, foam_color=fc,
+                custom_z=attrs["custom_z"])
             return quantize(img)
 
         self._render = jax.jit(render)
         self._render_spray = jax.jit(render_spray)
 
     def render(self, maps, scales, water_color, foam_color, pos, pitch, yaw,
-               spray_attrs=None) -> jax.Array:
+               spray_attrs=None, fov=70.0) -> jax.Array:
         """One jitted dispatch -> uint8 frame in the configured wire format
-        (``"rgb"``: gamma-encoded (H, W, 3); ``"yuv420"``: flat planar)."""
+        (``"rgb"``: gamma-encoded (H, W, 3); ``"yuv420"``: flat planar).
+        ``fov`` is a traced arg like the rest of the pose (the reference
+        panel's FOV 20-170 slider, main.gd:113-114)."""
         wc = jnp.asarray(water_color, jnp.float32)
         fc = jnp.asarray(foam_color, jnp.float32)
         pos = jnp.asarray(pos, jnp.float32)
         pitch = jnp.float32(pitch)
         yaw = jnp.float32(yaw)
+        fov = jnp.float32(fov)
         if spray_attrs is None:
-            return self._render(maps, scales, wc, fc, pos, pitch, yaw)
+            return self._render(maps, scales, wc, fc, pos, pitch, yaw, fov)
         return self._render_spray(maps, scales, wc, fc, pos, pitch, yaw,
-                                  spray_attrs)
+                                  fov, spray_attrs)
 
 
 class FramePipeline:

@@ -46,7 +46,7 @@ RESOLUTIONS = (128, 256, 512, 1024)  # the reference's combo (main.gd:68)
 
 KEY_HELP = ("[1-9] cascade  [tab/`] param  [+/-] adjust  [r] resolution  "
             "[u/U] update rate  [wasd] move  [hjkl] look  [z/x] down/up  "
-            "[v] view  [m] mesh  [q] quit")
+            "[f/F] fov  [v] view  [m] mesh  [q] quit")
 
 
 def _sample_field(maps, scales, extent: float, cols: int, rows: int):
@@ -205,6 +205,12 @@ class LiveViewer:
             dx, dy = {"h": (-24, 0), "l": (24, 0),
                       "k": (0, -24), "j": (0, 24)}[ch]
             self.camera.look(dx, dy)
+        elif ch in "fF":
+            # the reference panel's FOV control, 20-170 (main.gd:113-114);
+            # fov rides as a traced render arg, so no retrace
+            self.camera.fov_deg = float(np.clip(
+                self.camera.fov_deg + (5.0 if ch == "F" else -5.0),
+                20.0, 170.0))
         elif ch == "v":
             self.view = "field" if self.view == "3d" else "3d"
         elif ch == "m":
@@ -228,7 +234,8 @@ class LiveViewer:
         val = float(np.atleast_1d(val)[0])
         s = self.stats.summary()
         cam = self.camera.position
-        pose = (f"cam [{cam[0]:.0f} {cam[1]:.0f} {cam[2]:.0f}]  "
+        pose = (f"cam [{cam[0]:.0f} {cam[1]:.0f} {cam[2]:.0f}] "
+                f"fov {self.camera.fov_deg:.0f}  "
                 if self.view == "3d" else "")
         return (f"cascade {self.cascade + 1}/{o.num_cascades}  "
                 f"{name}={val:.2f}  map {o.config.map_size}^2  "
@@ -262,7 +269,7 @@ class LiveViewer:
                 self._maps, scales, self.ocean.water_color,
                 self.ocean.foam_color, cam.position,
                 np.rad2deg(cam.pitch), np.rad2deg(cam.yaw),
-                spray_attrs=attrs)
+                fov=cam.fov_deg, spray_attrs=attrs)
             body = ansi_rgb(np.asarray(img))
         else:
             height, foam = _sample_field_jit(

@@ -110,6 +110,9 @@ _PAGE = """<!doctype html>
  <div class="row"><label>updates/s</label>
    <input id="ups" type="range" min="0" max="60" step="1">
    <span class="val" id="upsv"></span></div>
+ <div class="row"><label>fov</label>
+   <input id="fov" type="range" min="20" max="170" step="1">
+   <span class="val" id="fovv"></span></div>
  <div class="row"><label>ambience</label><button id="audio">play</button></div>
  <div id="stats"></div>
 </div>
@@ -171,9 +174,12 @@ async function refreshState() {
   if (cascade >= state.cascades.length) cascade = 0;
   el('ups').value = state.updates_per_second;
   el('upsv').textContent = state.updates_per_second;
+  if (document.activeElement !== el('fov')) el('fov').value = state.fov;
+  el('fovv').textContent = Number(state.fov).toFixed(0);
   el('stats').textContent =
     `sim ${state.fps.toFixed(1)} fps  ${state.ms_frame.toFixed(1)} ms/frame\\n` +
     `frame ${state.frame}  cam [${state.camera.map(v => v.toFixed(1))}]  ` +
+    `pitch ${state.camera_pitch.toFixed(1)}  yaw ${state.camera_yaw.toFixed(1)}  ` +
     `speed ${state.camera_speed.toFixed(1)}`;
   rebuildParams();
   applyAudioGains();
@@ -197,6 +203,8 @@ el('subcasc').onclick = () => { cascade = 0;
   post({name: 'num_cascades', value: state.cascades.length - 1}); };
 el('ups').onchange = e => post({name: 'updates_per_second',
                                 value: Number(e.target.value)});
+el('fov').oninput = e => { el('fovv').textContent = e.target.value; };
+el('fov').onchange = e => post({name: 'fov', value: Number(e.target.value)});
 
 // --- ambience (main.gd:39-44 over HTTP) ---
 // seamless procedural loops served by the session; volumes follow the
@@ -437,6 +445,11 @@ class WebViewer:
                                  sprint=bool(sprint))
             elif name == "camera_speed":
                 self.camera.scroll(int(value))
+            elif name == "fov":
+                # the reference panel's FOV slider range (main.gd:113-114);
+                # fov rides as a traced render arg, so no retrace
+                self.camera.fov_deg = float(np.clip(float(value),
+                                                    20.0, 170.0))
             elif name == "spray":
                 self.spray_enabled = bool(value)
             else:
@@ -449,7 +462,9 @@ class WebViewer:
             pos = np.asarray(self.camera.position, np.float32)
             pitch = float(np.rad2deg(self.camera.pitch))
             yaw = float(np.rad2deg(self.camera.yaw))
-        return (jnp.asarray(pos), jnp.float32(pitch), jnp.float32(yaw))
+            fov = float(self.camera.fov_deg)
+        return (jnp.asarray(pos), jnp.float32(pitch), jnp.float32(yaw),
+                jnp.float32(fov))
 
     # --- simulation/render loop ------------------------------------------
     def _sim_loop(self) -> None:
@@ -479,11 +494,12 @@ class WebViewer:
             if maps is None:           # scheduler skipped the very first tick
                 self._stop.wait(dt)
                 continue
-            pos, pitch, yaw = self._camera_args()
+            pos, pitch, yaw, fov = self._camera_args()
             attrs = (self._spray.advance(maps, scales, dt)
                      if self.spray_enabled else None)
             img = self._viewport.render(maps, scales, wc, fc,
-                                        pos, pitch, yaw, spray_attrs=attrs)
+                                        pos, pitch, yaw, fov=fov,
+                                        spray_attrs=attrs)
             host = pipeline.push(img)
             if host is not None:
                 if self._viewport.transfer == "yuv420":
@@ -547,6 +563,9 @@ class WebViewer:
         with self._cam_lock:
             cam = [float(v) for v in self.camera.position]
             speed = float(self.camera.speed)
+            fov = float(self.camera.fov_deg)
+            pitch = float(np.rad2deg(self.camera.pitch))
+            yaw = float(np.rad2deg(self.camera.yaw))
             spray_on = self.spray_enabled
             resizing = self._resizing
             retiering = self._retiering
@@ -556,6 +575,7 @@ class WebViewer:
         total_wind = sum(c["wind_speed"] for c in snap["cascades"])
         return {**snap, "fps": s["fps"], "ms_frame": s["ms_mean"],
                 "frame": frame_no, "camera": cam, "camera_speed": speed,
+                "fov": fov, "camera_pitch": pitch, "camera_yaw": yaw,
                 "spray": spray_on, "mesh_quality": self.mesh_quality,
                 "resizing": resizing, "render_tier": self.render_tier,
                 "retiering": retiering, "render_scale": self.render_scale,
@@ -565,7 +585,8 @@ class WebViewer:
     def _apply(self, req: dict) -> None:
         name = req["name"]
         value = req["value"]
-        if name in ("camera_look", "camera_move", "camera_speed", "spray"):
+        if name in ("camera_look", "camera_move", "camera_speed", "spray",
+                    "fov"):
             self._apply_camera(name, value)
             return
         if name == "map_size":
@@ -712,13 +733,14 @@ class WebViewer:
         scales = params.map_scales()
         wc = np.asarray(self.ocean.water_color, np.float32)
         fc = np.asarray(self.ocean.foam_color, np.float32)
-        pos, pitch, yaw = self._camera_args()
+        pos, pitch, yaw, fov = self._camera_args()
         # throwaway spray session: warming must not advance the live
         # particles' respawn cycles
         attrs = (SpraySession(self._spray._num_particles)
                  .advance(maps, scales, 1.0 / self.fps)
                  if self.spray_enabled else None)
         img = self._viewport.render(maps, scales, wc, fc, pos, pitch, yaw,
+                                    fov=fov,
                                     spray_attrs=attrs)
         np.asarray(img)  # force the compile + run to completion
         with self._ocean_lock:
@@ -766,11 +788,11 @@ class WebViewer:
         scales = params.map_scales()
         wc = np.asarray(self.ocean.water_color, np.float32)
         fc = np.asarray(self.ocean.foam_color, np.float32)
-        pos, pitch, yaw = self._camera_args()
+        pos, pitch, yaw, fov = self._camera_args()
         attrs = (SpraySession(self._spray._num_particles)
                  .advance(maps, scales, 1.0 / self.fps)
                  if self.spray_enabled else None)
-        np.asarray(vp.render(maps, scales, wc, fc, pos, pitch, yaw,
+        np.asarray(vp.render(maps, scales, wc, fc, pos, pitch, yaw, fov=fov,
                              spray_attrs=attrs))
         with self._ocean_lock:
             self.ocean.resize(new_size, clear_jit_caches=False)
@@ -814,11 +836,11 @@ class WebViewer:
         scales = params.map_scales()
         wc = np.asarray(self.ocean.water_color, np.float32)
         fc = np.asarray(self.ocean.foam_color, np.float32)
-        pos, pitch, yaw = self._camera_args()
+        pos, pitch, yaw, fov = self._camera_args()
         attrs = (SpraySession(self._spray._num_particles)
                  .advance(maps, scales, 1.0 / self.fps)
                  if self.spray_enabled else None)
-        np.asarray(vp.render(maps, scales, wc, fc, pos, pitch, yaw,
+        np.asarray(vp.render(maps, scales, wc, fc, pos, pitch, yaw, fov=fov,
                              spray_attrs=attrs))
         with self._ocean_lock:
             self._viewport = vp         # atomic swap; next sim tick uses it

@@ -474,6 +474,42 @@ def test_webviewer_combined_size_and_tier_warm_swaps_atomically():
         np.array([0.0, 9.0, 0.0], np.float32), -14.0, 0.0))
     assert np.isfinite(img.astype(np.float32)).all()
 
+def test_webviewer_fov_control():
+    """The reference panel's FOV slider (20-170, main.gd:113-114): /set fov
+    updates the traced render arg, /state reports it next to the camera
+    position/pitch/yaw readout, and out-of-range values clamp."""
+    ocean = Ocean(map_size=64, updates_per_second=0)
+    viewer = WebViewer(ocean, width=64, height=36)
+    st = viewer._state()
+    assert st["fov"] == 70.0
+    assert len(st["camera"]) == 3
+    assert "camera_pitch" in st and "camera_yaw" in st
+    viewer._apply({"name": "fov", "value": 110.0})
+    assert viewer.camera.fov_deg == 110.0
+    assert viewer._state()["fov"] == 110.0
+    viewer._apply({"name": "fov", "value": 500.0})    # clamps (main.gd range)
+    assert viewer.camera.fov_deg == 170.0
+    viewer._apply({"name": "fov", "value": 3.0})
+    assert viewer.camera.fov_deg == 20.0
+    # the traced arg reaches the renderer: wider fov shows more sky at a
+    # horizon-facing pose (render through the actual viewer pipeline)
+    pos, pitch, yaw, fov = viewer._camera_args()
+    assert float(fov) == 20.0
+    maps = ocean.update(1 / 30)
+    scales = ocean.params.map_scales()
+    wc = np.asarray(ocean.water_color, np.float32)
+    fc = np.asarray(ocean.foam_color, np.float32)
+    narrow = np.asarray(viewer._viewport.render(
+        maps, scales, wc, fc, pos, pitch, yaw, fov=20.0))
+    wide = np.asarray(viewer._viewport.render(
+        maps, scales, wc, fc, pos, pitch, yaw, fov=150.0))
+    assert narrow.shape == wide.shape
+    assert np.abs(narrow.astype(np.int32) - wide.astype(np.int32)).mean() > 1.0
+    # the fov slider is in the served panel page
+    from godotoceanwaves_tpu.utils.webviewer import _PAGE
+    assert 'id="fov"' in _PAGE
+
+
 def test_webviewer_constructor_validates_render_scale():
     """The constructor accepts exactly the scales the panel combo offers —
     /state's reported scale always matches what actually renders (an
