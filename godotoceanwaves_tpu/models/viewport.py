@@ -245,3 +245,35 @@ class SpraySession:
         self._state, attrs = self._step(self._state, maps, scales,
                                         np.float32(self.clock))
         return attrs
+
+    def checkpoint(self) -> dict | None:
+        """Serializable snapshot of the particle state machine (None before
+        the first advance). Companion of `Ocean.checkpoint` — the viewer's
+        session snapshot carries both so a restored session resumes its
+        32768 respawn cycles instead of restarting them."""
+        if self._state is None:
+            return None
+        import dataclasses
+        return {
+            "params": dataclasses.asdict(self._params),
+            "state": {f.name: np.asarray(getattr(self._state, f.name))
+                      for f in dataclasses.fields(self._state)},
+            "clock": self.clock,
+        }
+
+    def restore(self, snapshot: dict | None) -> None:
+        """Restore a `checkpoint()` snapshot (None -> reset to unstarted)."""
+        if snapshot is None:
+            self._params = self._state = self._step = None
+            self.clock = 0.0
+            return
+        p = dict(snapshot["params"])
+        p["particle_scale"] = tuple(p["particle_scale"])
+        self._params = spray.SprayParams(**p)
+        self._num_particles = self._params.num_particles
+        self._emitter_extent = self._params.emitter_extent
+        st = {k: jnp.asarray(v) for k, v in snapshot["state"].items()}
+        self._state = spray.SprayState(**st)
+        self._step = jax.jit(functools.partial(spray.spray_step,
+                                               self._params))
+        self.clock = float(snapshot["clock"])

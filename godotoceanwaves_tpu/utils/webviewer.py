@@ -908,6 +908,46 @@ class WebViewer:
 
         return Handler
 
+    # --- session snapshot ----------------------------------------------------
+    def checkpoint(self) -> dict:
+        """Full viewer-session snapshot: ocean state (`Ocean.checkpoint`),
+        the spray particle state machine (its 32768 respawn cycles resume
+        instead of restarting), and the camera pose."""
+        with self._ocean_lock:
+            ocean = self.ocean.checkpoint()
+        with self._cam_lock:
+            cam = {
+                "position": [float(v) for v in self.camera.position],
+                "pitch": float(self.camera.pitch),
+                "yaw": float(self.camera.yaw),
+                "fov_deg": float(self.camera.fov_deg),
+                "speed": float(self.camera.speed),
+            }
+            spray_on = self.spray_enabled
+        return {"ocean": ocean, "spray": self._spray.checkpoint(),
+                "camera": cam, "spray_enabled": spray_on}
+
+    def restore(self, snapshot: dict) -> None:
+        """Restore a `checkpoint()` snapshot into this session."""
+        with self._ocean_lock:
+            self.ocean.restore(snapshot["ocean"])
+            self._spray.restore(snapshot.get("spray"))
+            snap = self._snapshot_ocean()
+        with self._cam_lock:
+            cam = snapshot.get("camera", {})
+            if cam:
+                self.camera.position = np.asarray(cam["position"],
+                                                  np.float32)
+                self.camera.pitch = float(cam["pitch"])
+                self.camera.yaw = float(cam["yaw"])
+                self.camera.fov_deg = float(cam.get("fov_deg", 70.0))
+                self.camera.speed = float(cam.get("speed",
+                                                  self.camera.speed))
+            self.spray_enabled = bool(snapshot.get("spray_enabled",
+                                                   self.spray_enabled))
+        with self._frame_lock:
+            self._state_cache = snap
+
     # --- lifecycle ---------------------------------------------------------
     def start(self, host: str = "127.0.0.1", port: int = 8000) -> int:
         """Start sim + server threads; returns the bound port (0 = ephemeral)."""

@@ -30,6 +30,7 @@ from godotoceanwaves_tpu.models.viewport import RENDER_TIERS
 CAM = dict(camera_pos=(0.0, 12.0, 0.0), pitch_deg=-12.0)
 SIZES = [(640, 360), (1280, 720), (1920, 1080)]
 SCALES = [1, 2, 3]
+LIFTS = ["linear", "catrom"]      # round-5: catrom + anti-ringing clamp
 
 
 def chained(fn, carry, iters=12, repeats=3, warmup=2):
@@ -61,34 +62,39 @@ def main():
             for s in SCALES:
                 if w % s or h % s:
                     continue
+                for lift in (LIFTS if s > 1 else ["linear"]):
 
-                @jax.jit
-                def frame(eps, w=w, h=h, s=s, kw=kw):
-                    cam = cam0 + eps * 1e-6
-                    img = geometry.render_ocean_geometry(
-                        maps, scales, quality="high", width=w, height=h,
-                        camera_pos=cam, pitch_deg=CAM["pitch_deg"],
-                        environment=True, render_scale=s, **kw)
-                    return jnp.sum(img)
+                    @jax.jit
+                    def frame(eps, w=w, h=h, s=s, kw=kw, lift=lift):
+                        cam = cam0 + eps * 1e-6
+                        img = geometry.render_ocean_geometry(
+                            maps, scales, quality="high", width=w, height=h,
+                            camera_pos=cam, pitch_deg=CAM["pitch_deg"],
+                            environment=True, render_scale=s, lift=lift,
+                            **kw)
+                        return jnp.sum(img)
 
-                @jax.jit
-                def image(w=w, h=h, s=s, kw=kw):
-                    return geometry.render_ocean_geometry(
-                        maps, scales, quality="high", width=w, height=h,
-                        camera_pos=cam0, pitch_deg=CAM["pitch_deg"],
-                        environment=True, render_scale=s, **kw)
+                    @jax.jit
+                    def image(w=w, h=h, s=s, kw=kw, lift=lift):
+                        return geometry.render_ocean_geometry(
+                            maps, scales, quality="high", width=w, height=h,
+                            camera_pos=cam0, pitch_deg=CAM["pitch_deg"],
+                            environment=True, render_scale=s, lift=lift,
+                            **kw)
 
-                ms = chained(lambda c, f=frame: f(c), jnp.float32(0.0))
-                img = np.asarray(image())
-                if s == 1:
-                    native = img
-                    q = "  (native ref)"
-                else:
-                    rms = float(np.sqrt(((img - native) ** 2).mean())) * 255
-                    mx = float(np.abs(img - native).max()) * 255
-                    q = f"  rms={rms:6.2f}/255 max={mx:6.1f}/255"
-                print(f"{tier:12s} {w:4d}x{h:<4d} scale={s}: {ms:8.2f} ms"
-                      f" ({1e3 / ms:6.1f} fps){q}", flush=True)
+                    ms = chained(lambda c, f=frame: f(c), jnp.float32(0.0))
+                    img = np.asarray(image())
+                    if s == 1:
+                        native = img
+                        q = "  (native ref)"
+                    else:
+                        rms = float(np.sqrt(
+                            ((img - native) ** 2).mean())) * 255
+                        mx = float(np.abs(img - native).max()) * 255
+                        q = f"  rms={rms:6.2f}/255 max={mx:6.1f}/255"
+                    print(f"{tier:12s} {w:4d}x{h:<4d} scale={s} "
+                          f"{lift:6s}: {ms:8.2f} ms"
+                          f" ({1e3 / ms:6.1f} fps){q}", flush=True)
 
 
 if __name__ == "__main__":
