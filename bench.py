@@ -25,7 +25,8 @@ rms_vs_oracle (on-device 512^2 step vs the NumPy oracle — the driver
 metric's RMS half), config5_* (2048^2 dual wind+swell spectra on the strip
 tier + MapStreamer host streaming, with bytes/frame + MB/s + preview-tier
 rate), and render_ms_frame (the 640x360 displaced-geometry render) +
-render_720p_scale2_ms (1280x720 via render_scale=2 dynamic resolution).
+render_720p_scale2_ms (1280x720 via render_scale=2 dynamic resolution) +
+render_720p_native_ms (native 1280x720 — the round-5 fan-march headline).
 Each later line is a superset of the former, so any last-line/first-line
 parser gets a valid record.
 """
@@ -267,12 +268,24 @@ def bench_render() -> dict:
     @jax.jit
     def frame720(eps):
         # 1280x720 at render_scale=2 (dynamic resolution: the whole
-        # pipeline at 640x360, on-device bilinear lift — docs/PERF.md
+        # pipeline at 640x360, on-device catrom lift — docs/PERF.md
         # "render_scale"): the single-chip 720p interactive figure
         img = geometry.render_ocean_geometry(
             maps, scales, quality="high", width=1280, height=720,
             camera_pos=cam0 + eps * 1e-6, march_steps=32, bisect_steps=6,
             shade_res=2, bracket_res=128, invert_res=256, render_scale=2,
+            environment=True, sampler="mxu")
+        return jnp.sum(img)
+
+    @jax.jit
+    def frame720_native(eps):
+        # NATIVE 1280x720 interactive (no dynamic resolution) — the
+        # round-5 fan-march headline (docs/PERF.md "polar fan march":
+        # 45.5 -> ~31 ms, above 30 fps on one chip)
+        img = geometry.render_ocean_geometry(
+            maps, scales, quality="high", width=1280, height=720,
+            camera_pos=cam0 + eps * 1e-6, march_steps=32, bisect_steps=6,
+            shade_res=2, bracket_res=128, invert_res=256,
             environment=True, sampler="mxu")
         return jnp.sum(img)
 
@@ -291,7 +304,9 @@ def bench_render() -> dict:
             best = min(best, (time.perf_counter() - t0) / 12 * 1e3)
         return best
 
-    return {"ms_frame": timed(frame), "ms_frame_720p_scale2": timed(frame720)}
+    return {"ms_frame": timed(frame),
+            "ms_frame_720p_scale2": timed(frame720),
+            "ms_frame_720p_native": timed(frame720_native)}
 
 
 def _render_subprocess() -> None:
@@ -404,14 +419,17 @@ def main() -> None:
         print(
             f"render: 640x360 displaced-geometry frame (high mesh, LOD) "
             f"{rr['ms_frame']:.2f} ms/frame; 1280x720 at render_scale=2 "
-            f"(dynamic resolution) {rr['ms_frame_720p_scale2']:.2f} ms/frame "
-            f"(docs/PERF.md 'Geometry render')",
+            f"(dynamic resolution) {rr['ms_frame_720p_scale2']:.2f} ms/frame; "
+            f"native 1280x720 {rr['ms_frame_720p_native']:.2f} ms/frame "
+            f"(docs/PERF.md 'Geometry render' + 'polar fan march')",
             file=sys.stderr,
         )
         print(json.dumps({**record,
                           "render_ms_frame": round(rr["ms_frame"], 4),
                           "render_720p_scale2_ms": round(
-                              rr["ms_frame_720p_scale2"], 4)}))
+                              rr["ms_frame_720p_scale2"], 4),
+                          "render_720p_native_ms": round(
+                              rr["ms_frame_720p_native"], 4)}))
         sys.stdout.flush()
     except Exception as e:
         print(f"render bench failed: {e!r}", file=sys.stderr)

@@ -623,21 +623,23 @@ def render_ocean_geometry(
         # docs/PERF.md); the hat-weight MXU sampler replaces them wholesale.
         # On CPU gathers are cheap and matmuls are not — keep gather there.
         sampler = "mxu" if jax.default_backend() == "tpu" else "gather"
-    if sampler == "mxu" and shade_res > 1 and width == 960 \
-            and 520 <= local_h <= 560:
-        # Known XLA/Mosaic shape pathology (docs/PERF.md round-4 shape
-        # isolation): the decimated-tap program at internal shape
-        # (960, ~540) measures ~2x every aligned neighbor (960x540 48 ms
-        # vs 1024x540 28 / 896x540 23.8 / 960x512 24.9 on the v5e);
-        # 1920x1080 render_scale=2 inherits it (internal IS 960x540 —
-        # prefer scale=3 there). Band raggedness and 8/128 divisibility do
-        # NOT discriminate; until the trigger is isolated, warn loudly at
-        # trace time (same tripwire pattern as the LOD-banding fallback).
+    resolved_march = march_impl if march_impl != "auto" else (
+        "fan" if accel == "uniform" else "xla")
+    if resolved_march == "xla" and sampler == "mxu" and shade_res > 1 \
+            and width == 960 and 520 <= local_h <= 560:
+        # ROOT-CAUSED (round-5, scripts/probe_960x540_pathology.py): the
+        # (960, ~540) ~2x shape pathology lives in the XLA MARCH program —
+        # 960x540 xla 47.8 ms vs fan 16.4 ms, while the aligned neighbors
+        # are linear under both (1024x540 xla 28.0 / fan 19.5; 896x540 fan
+        # 16.7). The fan march doesn't build that program, so the round-4
+        # steer-around is RETIRED on the default path; this warning stays
+        # for anyone forcing march_impl="xla" at this shape.
         import warnings
         warnings.warn(
-            f"internal render shape {width}x{local_h} is a measured "
-            "~2x TPU shape pathology (docs/PERF.md round-4); prefer "
-            "1024x540, 896x540, or a different render_scale",
+            f"internal render shape {width}x{local_h} is a measured ~2x "
+            "TPU shape pathology of the XLA march program (docs/PERF.md "
+            "round-5 root cause); use the fan march (march_impl='auto'/"
+            "'fan') or a neighboring shape",
             RuntimeWarning, stacklevel=2)
     grid = displaced_grid(maps, map_scales, coords, center_xz, cam,
                           sampler=sampler)
@@ -785,14 +787,13 @@ def render_ocean_geometry(
                 jnp.where(hit, t_first - seg, lo),
                 jnp.where(hit, t_first, hi))
 
-    if march_impl == "auto":
-        # the polar fan march replaces per-pixel-per-step map sampling with
-        # one fan table + one profile matmul + a fused VPU compare (see
-        # _fan_select); it needs the uniform-accel sample windows. The
-        # Pallas kernel is a measured dead end (docs/PERF.md "Geometry
-        # render": ~18 ms vs XLA ~7 ms — MXU-roofline einsums don't fuse
-        # profitably); "xla" remains the dense per-pixel reference path.
-        march_impl = "fan" if accel == "uniform" else "xla"
+    # auto -> the polar fan march (replaces per-pixel-per-step map sampling
+    # with one fan table + one profile matmul + a fused VPU compare, see
+    # _fan_select; needs the uniform-accel sample windows). The Pallas
+    # kernel is a measured dead end (docs/PERF.md "Geometry render":
+    # ~18 ms vs XLA ~7 ms — MXU-roofline einsums don't fuse profitably);
+    # "xla" remains the dense per-pixel reference path.
+    march_impl = resolved_march
     if march_impl == "fan":
         assert accel == "uniform", \
             "march_impl='fan' requires the uniform-accel path"

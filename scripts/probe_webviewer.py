@@ -5,11 +5,12 @@ for the sim thread to reach steady state, and samples the served-frame
 counter over a minute — the end-to-end figure the PERF.md "viewer loop"
 ledger records. An optional argv[1] of rgb|yuv420 pins the wire format
 (A/B the transfer: run once per format in the same session); an optional
-argv[2] WIDTHxHEIGHT sets the surface size (default 640x360) and argv[3]
-the render_scale (dynamic resolution — the 720p/1080p single-chip lever).
-Run detached on the TPU:
+argv[2] WIDTHxHEIGHT sets the surface size (default 640x360), argv[3]
+the render_scale (dynamic resolution — the 720p/1080p single-chip lever),
+and argv[4] the fps cap (default 30; pass 240 for the UNCAPPED ceiling —
+the round-5 verdict ask). Run detached on the TPU:
 
-    nohup python scripts/probe_webviewer.py auto 1280x720 2 > /tmp/probe_web.log 2>&1 &
+    nohup python scripts/probe_webviewer.py auto 1280x720 2 240 > /tmp/probe_web.log 2>&1 &
 """
 from __future__ import annotations
 
@@ -30,10 +31,11 @@ def main():
     width, height = (map(int, sys.argv[2].split("x"))
                      if len(sys.argv) > 2 else (640, 360))
     scale = int(sys.argv[3]) if len(sys.argv) > 3 else 1
+    fps = float(sys.argv[4]) if len(sys.argv) > 4 else 30.0
     o = Ocean(map_size=1024, map_dtype="bfloat16", updates_per_second=0)
-    # cap 30: the round-4 tuned render (15.5 ms) leaves the loop
-    # relay-bound, not render-bound — measure the true steady state
-    v = WebViewer(o, fps=30.0, spray=True, transfer=transfer,
+    # cap 30 default: the tuned render leaves the loop relay-bound, not
+    # render-bound; fps=240 measures the true uncapped serving ceiling
+    v = WebViewer(o, fps=fps, spray=True, transfer=transfer,
                   width=width, height=height, render_scale=scale)
     port = v.start(port=0)
     print("serving on", port, flush=True)

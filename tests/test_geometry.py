@@ -230,21 +230,27 @@ def test_lift2d_matches_reference_einsum():
 
 
 def test_960x540_shape_pathology_tripwire(ocean_maps):
-    """The measured (960, ~540) TPU shape pathology (docs/PERF.md round-4
-    shape isolation) warns at trace time on the decimated-tap mxu path —
-    the same loud-tripwire pattern as the LOD banding fallback."""
+    """The (960, ~540) TPU shape pathology was ROOT-CAUSED to the XLA
+    march program (docs/PERF.md round-5: xla 47.8 ms vs fan 16.4 at that
+    shape): the tripwire warns only when march_impl='xla' is forced there;
+    the default (fan) path is linear at the shape and stays silent."""
     maps, scales = ocean_maps
     kw = dict(march_steps=8, bisect_steps=3, shade_res=2, sampler="mxu",
               **CAM)
     with pytest.warns(RuntimeWarning, match="pathology"):
         jax.eval_shape(lambda: geometry.render_ocean_geometry(
-            maps, scales, "low", width=960, height=540, **kw))
-    # the aligned neighbor shape stays silent
+            maps, scales, "low", width=960, height=540,
+            march_impl="xla", **kw))
     import warnings as _w
     with _w.catch_warnings():
         _w.simplefilter("error", RuntimeWarning)
+        # the default fan march at the same shape is NOT pathological
         jax.eval_shape(lambda: geometry.render_ocean_geometry(
-            maps, scales, "low", width=1024, height=540, **kw))
+            maps, scales, "low", width=960, height=540, **kw))
+        # and the aligned neighbor stays silent even under xla
+        jax.eval_shape(lambda: geometry.render_ocean_geometry(
+            maps, scales, "low", width=1024, height=540,
+            march_impl="xla", **kw))
 
 
 def test_zero_displacement_reduces_to_flat_plane(ocean_maps):
