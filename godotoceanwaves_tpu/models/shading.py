@@ -268,6 +268,67 @@ def _gradient_tap(planes: jax.Array, s: jax.Array, xz: jax.Array) -> jax.Array:
                  + sample_bilinear_mxu(planes, uv) * mix_t))
 
 
+def _window_weights(rel: jax.Array, m: int, cubic: bool) -> jax.Array:
+    """(..., m) interpolation weights at WINDOW-relative coordinate rel
+    (non-circular twin of `_wrap_weights`: the caller guarantees the whole
+    2-/4-sparse footprint lies inside the m-row window)."""
+    iota = jnp.arange(m, dtype=jnp.float32)
+    d = jnp.abs(rel[..., None] - iota)
+    if not cubic:
+        w = jnp.maximum(0.0, 1.0 - d)
+    else:
+        d2 = d * d
+        d3 = d2 * d
+        near = (4.0 - 6.0 * d2 + 3.0 * d3) / 6.0
+        farr = jnp.maximum(2.0 - d, 0.0) ** 3 / 6.0
+        w = jnp.where(d < 1.0, near, farr)
+    return w.astype(jnp.bfloat16)
+
+
+def _slab_tap(planes_pad: jax.Array, s: jax.Array, xz: jax.Array,
+              slab: int) -> jax.Array:
+    """`_gradient_tap` with the v-axis contraction cropped to a `slab`-row
+    window of the (v-duplicated) table.
+
+    The dense MXU tap burns P x R x ch x R MACs on 2-sparse weights; a
+    horizontal LOD band's queries span a narrow, CONTIGUOUS range of
+    world z (unwrapped — no mod discontinuity), so the v contraction only
+    needs the `slab` rows covering that range: cost drops by R/slab with
+    the same weights against the same texels (equal up to fp32 dot
+    reduction order, ~4e-5; docs/PERF.md round-5 "slab-cropped taps"). planes_pad: (3, 2R, R) — the table
+    duplicated along v so any R-row window is contiguous (GL repeat wrap
+    without circular weights). The caller guarantees
+    max(fv) - min(fv) + 4 <= slab. The x axis keeps the circular weights
+    (a band spans the full frame width). Applies the same ppm
+    bicubic<->bilinear blend with the same saturation skip."""
+    n = planes_pad.shape[-1]
+    uv = xz * s[:2]
+    fx = uv[..., 0] * n - 0.5
+    fv = uv[..., 1] * n - 0.5          # unwrapped: contiguous per band
+    v0 = jnp.floor(jnp.min(fv)) - 1.0  # cubic footprint margin
+    rel = fv - v0                      # in [1, extent + 2)
+    start = jnp.mod(v0.astype(jnp.int32), n)
+    win = jax.lax.dynamic_slice(planes_pad, (0, start, 0), (3, slab, n))
+    win16 = win.astype(jnp.bfloat16)
+    wx_lin = _wrap_weights(fx, n, cubic=False)
+
+    def tap(cubic):
+        wy = _window_weights(rel, slab, cubic)
+        rows = jnp.einsum("...g,cgk->...ck", wy, win16,
+                          preferred_element_type=jnp.float32)
+        wx = _wrap_weights(fx, n, cubic).astype(jnp.float32) if cubic \
+            else wx_lin.astype(jnp.float32)
+        out = jnp.einsum("...ck,...k->...c", rows, wx)
+        return jnp.moveaxis(out, -1, 0)
+
+    ppm = n * jnp.minimum(s[0], s[1])
+    mix_t = jnp.minimum(1.0, ppm * 0.1)
+    return jax.lax.cond(
+        mix_t >= 1.0,
+        lambda: tap(False),
+        lambda: tap(True) * (1 - mix_t) + tap(False) * mix_t)
+
+
 # --- screen-space LOD for the gradient taps ---------------------------------
 # The dense MXU tap costs P x R^2 x ch FLOPs per cascade — at full res it is
 # the geometry render's single largest stage (docs/PERF.md). But most screen
@@ -333,8 +394,8 @@ def gradient_band_levels(dist_b: jax.Array, hit_b: jax.Array,
 
 
 def cascade_gradient_lod(pyramid: list, map_scales: jax.Array,
-                         xz_bands: jax.Array, band_levels: jax.Array
-                         ) -> jax.Array:
+                         xz_bands: jax.Array, band_levels: jax.Array,
+                         slab_crop: bool = True) -> jax.Array:
     """`cascade_gradient` (mxu sampler) with per-band mip levels.
 
     pyramid: from `normal_gradient_pyramid`; xz_bands: (B, P, 2) banded
@@ -343,9 +404,38 @@ def cascade_gradient_lod(pyramid: list, map_scales: jax.Array,
     Returns (B, P, 3). Level-0 bands compute exactly the dense path's
     einsums; the scan serializes bands, which costs nothing — each band's
     tap is itself a large MXU contraction.
+
+    slab_crop (default): a band's queries span a narrow contiguous range
+    of world z, so each (band, cascade) tap additionally picks the
+    smallest v-axis window in {R/8, R/4, R/2, R} covering its extent and
+    contracts only those rows (`_slab_tap` — measured 1.45x fewer tap MACs
+    at the 720p viewer pose, with the 88/57 m cascades' near bands at
+    1/4-1/8 windows; the R window falls back to the exact circular tap).
+    Same weights, same texels — not an approximation.
     """
     nlev = len(pyramid)
     ncasc = pyramid[0].shape[0]
+    # v-duplicated tables: any R-row window is contiguous (repeat wrap)
+    pyr_pad = [jnp.concatenate([p, p], axis=2) for p in pyramid] \
+        if slab_crop else None
+
+    def tap_at(l, i, s, xz_b):
+        if not slab_crop:
+            return _gradient_tap(pyramid[l][i], s, xz_b)
+        n_l = pyramid[l].shape[-1]
+        sizes = [m for m in (n_l // 8, n_l // 4, n_l // 2)
+                 if m >= 16]
+        if not sizes:
+            return _gradient_tap(pyramid[l][i], s, xz_b)
+        fv = xz_b[..., 1] * s[1] * n_l
+        ext = jnp.max(fv) - jnp.min(fv)
+        # smallest window with ext + 4-texel footprint margin inside it
+        idx = sum((ext + 5.0 > m).astype(jnp.int32) for m in sizes)
+        slabs = [
+            (lambda m=m: _slab_tap(pyr_pad[l][i], s, xz_b, m))
+            for m in sizes
+        ] + [lambda: _gradient_tap(pyramid[l][i], s, xz_b)]
+        return jax.lax.switch(idx, slabs)
 
     def band(_, inp):
         xz_b, lev_b = inp
@@ -353,7 +443,7 @@ def cascade_gradient_lod(pyramid: list, map_scales: jax.Array,
         for i in range(ncasc):
             s = map_scales[i]
             branches = [
-                (lambda l=l: _gradient_tap(pyramid[l][i], s, xz_b))
+                (lambda l=l: tap_at(l, i, s, xz_b))
                 for l in range(nlev)
             ] + [lambda: jnp.zeros((3,) + xz_b.shape[:-1], jnp.float32)]
             tap = jax.lax.switch(jnp.minimum(lev_b[i], nlev), branches)

@@ -396,7 +396,11 @@ def test_gradient_band_levels_selection():
 
 def test_gradient_lod_near_field_is_exact(ocean_maps):
     """Looking steeply down (all hit distances small) every band selects
-    level 0, so the LOD render must equal the dense mxu render."""
+    level 0, so the LOD render must equal the dense mxu render up to fp32
+    reduction order: the slab-cropped tap (round 5) contracts the same
+    weights against the same texels but over a shorter window, so the dot
+    reduction associates differently (~4e-5 max observed; a uint8 frame
+    quantization step is 3.9e-3)."""
     maps, scales = ocean_maps
     kw = dict(width=W, height=H, light_dir=LIGHT, march_steps=20,
               bisect_steps=6, sampler="mxu",
@@ -405,7 +409,7 @@ def test_gradient_lod_near_field_is_exact(ocean_maps):
         maps, scales, "low", gradient_lod=True, **kw))
     ref = np.asarray(geometry.render_ocean_geometry(
         maps, scales, "low", gradient_lod=False, **kw))
-    np.testing.assert_allclose(lod, ref, rtol=0, atol=1e-5)
+    np.testing.assert_allclose(lod, ref, rtol=0, atol=2e-4)
 
 
 def test_gradient_band_levels_bias_coarsens():
