@@ -84,6 +84,9 @@ def main() -> None:
                     help="camera pitch degrees (negative looks down)")
     ap.add_argument("--yaw", type=float, default=0.0,
                     help="camera yaw degrees")
+    ap.add_argument("--fov", type=float, default=70.0,
+                    help="camera field of view, degrees (reference panel "
+                         "range 20-170, main.gd:113-114)")
     ap.add_argument("--ambience", type=str, default=None,
                     help="write the wind-mixed procedural ambience loop "
                          "(WAV) for the current cascade stack")
@@ -182,7 +185,7 @@ def main() -> None:
                  if spray_session is not None else None)
         img = viewport.render(maps, scales, ocean.water_color,
                               ocean.foam_color, cam_pos, args.pitch,
-                              args.yaw, spray_attrs=attrs)
+                              args.yaw, fov=args.fov, spray_attrs=attrs)
         host = pipeline.push(img)
         if host is not None:
             frames.append(host)
