@@ -246,6 +246,19 @@ class SpraySession:
                                         np.float32(self.clock))
         return attrs
 
+    def ensure_init(self):
+        """Create the particle state if it does not exist yet; returns
+        ``(params, state)``. Used by the batched frame loop, which threads
+        the spray recurrence through its own scan instead of `advance`."""
+        if self._state is None:
+            self._params = spray.SprayParams(
+                num_particles=self._num_particles,
+                emitter_extent=self._emitter_extent)
+            self._state = spray.spray_init(self._params)
+            self._step = jax.jit(functools.partial(spray.spray_step,
+                                                   self._params))
+        return self._params, self._state
+
     def checkpoint(self) -> dict | None:
         """Serializable snapshot of the particle state machine (None before
         the first advance). Companion of `Ocean.checkpoint` — the viewer's
@@ -277,3 +290,61 @@ class SpraySession:
         self._step = jax.jit(functools.partial(spray.spray_step,
                                                self._params))
         self.clock = float(snapshot["clock"])
+
+
+def make_batched_step(renderer: SceneRenderer, config, spray_params,
+                      num_frames: int):
+    """Build the viewer's K-frame megastep: ONE jitted dispatch that advances
+    the simulation ``num_frames`` ticks AND renders every tick's frame.
+
+    The interactive loop's cost on this backend is dominated by per-dispatch
+    relay round trips, not device time (docs/PERF.md "viewer loop"): the
+    single-frame loop pays 3 dispatches + 1 frame fetch per served frame.
+    Batching K frames into one program cuts that to (3 dispatches + one
+    K-frame fetch) / K per served frame. Semantics match K sequential
+    ``Ocean.update(dt)`` calls at ``updates_per_second == 0`` (every tick
+    steps, water.gd:77-80 never folds) followed by a spray advance + render
+    per tick — the CPU parity test pins bit-equality against that loop.
+    Trade-offs: camera pose and parameter edits are sampled once per batch
+    (latency = K ticks, ~K/fps seconds), and the foam/spray recurrences ride
+    a `lax.scan`, exactly as SURVEY.md section 7.3 item 3 prescribes.
+
+    Returns ``fn(state, params, spray_state, clock, wc, fc, pos, pitch, yaw,
+    fov, dt) -> (state, spray_state, frames, last_maps)`` where ``frames``
+    stacks ``num_frames`` wire-format frames on axis 0 and ``last_maps`` is
+    the final tick's OceanMaps (device-resident; keeps `Ocean.maps` honest
+    without an extra fetch). Pass ``spray_params=None`` to drop the spray
+    leg (then ``spray_state`` must be None and returns None).
+    """
+    from .ocean import OceanMaps, _step_frames_impl
+
+    def fn(state, params, spray_state, clock, wc, fc, pos, pitch, yaw,
+           fov, dt):
+        dt = jnp.float32(dt)
+        state, stacked = _step_frames_impl(config, state, params, dt,
+                                           num_frames)
+        scales = params.map_scales()
+
+        def body(carry, k):
+            sp, clk = carry
+            maps_k = OceanMaps(displacement=stacked.displacement[:, k],
+                               normal=stacked.normal[:, k])
+            clk = clk + dt
+            if spray_params is not None:
+                sp, attrs = spray.spray_step(spray_params, sp, maps_k,
+                                             scales, clk)
+                frame = renderer._render_spray(maps_k, scales, wc, fc, pos,
+                                               pitch, yaw, fov, attrs)
+            else:
+                frame = renderer._render(maps_k, scales, wc, fc, pos,
+                                         pitch, yaw, fov)
+            return (sp, clk), frame
+
+        (spray_state, _), frames = jax.lax.scan(
+            body, (spray_state, jnp.float32(clock)),
+            jnp.arange(num_frames))
+        last = OceanMaps(displacement=stacked.displacement[:, -1],
+                        normal=stacked.normal[:, -1])
+        return state, spray_state, frames, last
+
+    return jax.jit(fn)

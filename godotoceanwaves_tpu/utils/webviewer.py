@@ -311,8 +311,20 @@ class WebViewer:
                  mesh_quality: str = "low", flat: bool = False,
                  spray: bool = False, spray_particles: int = 32768,
                  transfer: str = "auto", render_tier: str = "interactive",
-                 render_scale: int = 1):
+                 render_scale: int = 1, frame_batch: int = 1):
         self.ocean = ocean
+        # K-frame dispatch batching (models/viewport.make_batched_step): one
+        # jitted program advances K sim ticks and renders all K frames —
+        # the relay-bound loop's dispatch-count lever (docs/PERF.md "viewer
+        # loop"). Active only when updates_per_second == 0 and stagger is
+        # off (every tick steps, so K ticks batch losslessly); otherwise
+        # the loop falls back to single-frame dispatches. Pose/parameter
+        # edits apply at batch granularity (~K/fps s latency).
+        if not (isinstance(frame_batch, int) and 1 <= frame_batch <= 8):
+            raise ValueError(f"frame_batch must be an int in [1, 8], "
+                             f"got {frame_batch!r}")
+        self.frame_batch = frame_batch
+        self._batched = None   # (key, jitted fn, spray_params) cache
         self.environment = environment
         self.fps = fps
         self.width = width
@@ -483,8 +495,13 @@ class WebViewer:
         # work is in flight (FramePipeline — 105 -> 68 ms/frame measured;
         # one tick of extra latency, invisible in a viewer)
         from ..models.viewport import FramePipeline
-        pipeline = FramePipeline()
+        pipeline = FramePipeline()        # single-frame path
+        batch_pipeline = FramePipeline()  # K-frame path (separate: pending
+        #                                   payload shapes differ per mode)
         while not self._stop.is_set():
+            if self._use_batched():
+                self._batched_tick(batch_pipeline, dt)
+                continue
             t0 = time.perf_counter()
             with self._ocean_lock:
                 maps = self.ocean.update(dt) or maps
@@ -502,19 +519,93 @@ class WebViewer:
                                         spray_attrs=attrs)
             host = pipeline.push(img)
             if host is not None:
-                if self._viewport.transfer == "yuv420":
-                    from ..models.viewport import yuv420_to_ycbcr
-                    ycbcr = yuv420_to_ycbcr(host, self.height, self.width)
-                    png, mime = _frame_bytes(ycbcr, mode="YCbCr")
-                else:
-                    png, mime = _frame_bytes(host)
-                with self._frame_lock:
-                    self._png = png
-                    self._mime = mime
-                    self._frame_no += 1
+                self._publish(host)
             took = time.perf_counter() - t0
             self.stats.record(took)
             self._stop.wait(max(0.0, dt - took))
+
+    def _publish(self, host: np.ndarray) -> None:
+        """Encode + publish one host wire-format frame. Drops frames whose
+        size does not match the CURRENT surface (a resize can swap the
+        renderer while one old-size frame is still in a pipeline)."""
+        if self._viewport.transfer == "yuv420":
+            if host.size != self.height * self.width * 3 // 2:
+                return
+            from ..models.viewport import yuv420_to_ycbcr
+            ycbcr = yuv420_to_ycbcr(host, self.height, self.width)
+            png, mime = _frame_bytes(ycbcr, mode="YCbCr")
+        else:
+            if host.shape[:2] != (self.height, self.width):
+                return
+            png, mime = _frame_bytes(host)
+        with self._frame_lock:
+            self._png = png
+            self._mime = mime
+            self._frame_no += 1
+
+    # --- K-frame dispatch batching ----------------------------------------
+    def _use_batched(self) -> bool:
+        return (self.frame_batch > 1
+                and self.ocean.updates_per_second == 0
+                and not self.ocean.stagger)
+
+    def _batched_step_fn(self):
+        """(Re)build the jitted K-frame megastep when anything static about
+        it changed: renderer swap (resize/tier), sim config (map resize),
+        spray toggle, or frame_batch edit."""
+        spray_params = (self._spray.ensure_init()[0]
+                        if self.spray_enabled else None)
+        key = (id(self._viewport), self.ocean.config, self.frame_batch,
+               id(spray_params))
+        if self._batched is not None and self._batched[0] == key:
+            return self._batched[1], self._batched[2]
+        from ..models.viewport import make_batched_step
+        fn = make_batched_step(self._viewport, self.ocean.config,
+                               spray_params, self.frame_batch)
+        self._batched = (key, fn, spray_params)
+        return fn, spray_params
+
+    def _batched_tick(self, pipeline, dt: float) -> None:
+        """One loop iteration in batched mode: dispatch K sim+render frames
+        as ONE program, fetch the PREVIOUS batch while it computes, and
+        publish those K frames paced at the target rate."""
+        k = self.frame_batch
+        t0 = time.perf_counter()
+        fn, spray_params = self._batched_step_fn()
+        pos, pitch, yaw, fov = self._camera_args()
+        with self._ocean_lock:
+            o = self.ocean
+            o.regenerate_dirty()
+            wc = np.asarray(o.water_color, np.float32)
+            fc = np.asarray(o.foam_color, np.float32)
+            sp_state = self._spray._state if spray_params is not None else None
+            clock = self._spray.clock if spray_params is not None else 0.0
+            state, sp_state, frames, last = fn(
+                o.state, o.params, sp_state, np.float32(clock), wc, fc,
+                pos, pitch, yaw, fov, np.float32(dt))
+            o.state = state
+            o.maps = last
+            o._time += k * dt
+            if spray_params is not None:
+                self._spray._state = sp_state
+                self._spray.clock = clock + k * dt
+        host = pipeline.push(frames)
+        work = time.perf_counter() - t0
+        if host is not None:
+            for i in range(len(host)):
+                e0 = time.perf_counter()
+                self._publish(host[i])
+                work += time.perf_counter() - e0
+                if self._stop.is_set():
+                    return
+                # deadline pacing from tick start: the whole tick targets
+                # k*dt wall, absorbing dispatch+fetch time instead of
+                # stacking on top of it
+                self._stop.wait(
+                    max(0.0, t0 + (i + 1) * dt - time.perf_counter()))
+        for _ in range(k):
+            self.stats.record(work / k)
+        self._stop.wait(max(0.0, t0 + k * dt - time.perf_counter()))
 
     # --- http --------------------------------------------------------------
     def _snapshot_ocean(self) -> dict:
@@ -580,6 +671,7 @@ class WebViewer:
                 "resizing": resizing, "render_tier": self.render_tier,
                 "retiering": retiering, "render_scale": self.render_scale,
                 "render_scales": self._valid_render_scales,
+                "frame_batch": self.frame_batch,
                 "ambience_db": list(ambience_gains_db(total_wind))}
 
     def _apply(self, req: dict) -> None:

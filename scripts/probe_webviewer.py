@@ -32,11 +32,15 @@ def main():
                      if len(sys.argv) > 2 else (640, 360))
     scale = int(sys.argv[3]) if len(sys.argv) > 3 else 1
     fps = float(sys.argv[4]) if len(sys.argv) > 4 else 30.0
+    batch = int(sys.argv[5]) if len(sys.argv) > 5 else 1
     o = Ocean(map_size=1024, map_dtype="bfloat16", updates_per_second=0)
     # cap 30 default: the tuned render leaves the loop relay-bound, not
-    # render-bound; fps=240 measures the true uncapped serving ceiling
+    # render-bound; fps=240 measures the true uncapped serving ceiling.
+    # argv[5] = frame_batch K (the dispatch-count ablation: K sim+render
+    # frames per jitted program, docs/PERF.md "viewer loop round 5")
     v = WebViewer(o, fps=fps, spray=True, transfer=transfer,
-                  width=width, height=height, render_scale=scale)
+                  width=width, height=height, render_scale=scale,
+                  frame_batch=batch)
     port = v.start(port=0)
     print("serving on", port, flush=True)
 

@@ -191,3 +191,74 @@ def test_webviewer_session_checkpoint_roundtrip():
     # the restored ocean advances from the checkpointed sim time
     t_before = float(np.asarray(ocean2.state.time).max())
     assert t_before == pytest.approx(float(np.asarray(ocean.state.time).max()))
+
+
+# --- K-frame dispatch batching (make_batched_step) --------------------------
+# The viewer's relay-bound loop batches K sim+render ticks into ONE jitted
+# program (docs/PERF.md "viewer loop round 5"); semantics must match K
+# sequential Ocean.update(dt) ticks with a spray advance + render each.
+
+
+def _seq_frames(k, dt, pose, spray_on):
+    from godotoceanwaves_tpu import Ocean
+    from godotoceanwaves_tpu.models.viewport import SpraySession
+    ocean = Ocean(map_size=64, updates_per_second=0)
+    r = SceneRenderer(64, 36, flat=True, transfer="rgb")
+    spray = SpraySession(num_particles=256) if spray_on else None
+    frames = []
+    for _ in range(k):
+        maps = ocean.update(dt)
+        scales = ocean.params.map_scales()
+        attrs = spray.advance(maps, scales, dt) if spray_on else None
+        frames.append(np.asarray(r.render(
+            maps, scales, ocean.water_color, ocean.foam_color,
+            pose[0], pose[1], pose[2], fov=pose[3], spray_attrs=attrs)))
+    return ocean, spray, np.stack(frames)
+
+
+@pytest.mark.parametrize("spray_on", [False, True])
+def test_batched_step_matches_sequential_loop(spray_on):
+    from godotoceanwaves_tpu import Ocean
+    from godotoceanwaves_tpu.models.viewport import (SpraySession,
+                                                     make_batched_step)
+    k, dt = 3, 1 / 30
+    pose = (np.array([0.0, 10.0, 0.0], np.float32), -20.0, 15.0, 70.0)
+
+    ocean_s, spray_s, seq = _seq_frames(k, dt, pose, spray_on)
+
+    ocean = Ocean(map_size=64, updates_per_second=0)
+    r = SceneRenderer(64, 36, flat=True, transfer="rgb")
+    if spray_on:
+        session = SpraySession(num_particles=256)
+        spray_params, spray_state = session.ensure_init()
+    else:
+        spray_params, spray_state = None, None
+    fn = make_batched_step(r, ocean.config, spray_params, k)
+    state, spray_state, frames, last = fn(
+        ocean.state, ocean.params, spray_state, np.float32(0.0),
+        ocean.water_color, ocean.foam_color,
+        pose[0], np.float32(pose[1]), np.float32(pose[2]),
+        np.float32(pose[3]), np.float32(dt))
+
+    frames = np.asarray(frames)
+    assert frames.shape == (k, 36, 64, 3) and frames.dtype == np.uint8
+    # same math, different XLA program boundaries: allow the uint8 quantize
+    # to flip by 1 on a handful of boundary pixels, nothing more
+    diff = np.abs(frames.astype(np.int16) - seq.astype(np.int16))
+    assert diff.max() <= 1
+    assert (diff == 0).mean() > 0.999
+
+    # carried recurrences line up with the sequential loop
+    np.testing.assert_allclose(np.asarray(state.foam),
+                               np.asarray(ocean_s.state.foam),
+                               rtol=0, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(state.time),
+                               np.asarray(ocean_s.state.time),
+                               rtol=0, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(last.displacement),
+                               np.asarray(ocean_s.maps.displacement),
+                               rtol=0, atol=1e-4)
+    if spray_on:
+        np.testing.assert_allclose(np.asarray(spray_state.start_time),
+                                   np.asarray(spray_s._state.start_time),
+                                   rtol=0, atol=1e-5)

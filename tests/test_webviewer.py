@@ -581,3 +581,46 @@ def test_webviewer_render_scale_switch_async():
         assert viewer.render_scale == 2
     finally:
         viewer.stop()
+
+
+def test_webviewer_frame_batch_validation():
+    ocean = Ocean(map_size=64, updates_per_second=0)
+    for bad in (0, 9, 2.0, -1):
+        with pytest.raises(ValueError):
+            WebViewer(ocean, width=64, height=36, frame_batch=bad)
+
+
+@pytest.mark.slow
+def test_webviewer_frame_batch_serves_and_falls_back():
+    """frame_batch=3 serves K-at-a-time batches; setting a nonzero update
+    rate flips the loop back to single-frame dispatches live."""
+    ocean = Ocean(map_size=64, updates_per_second=0)
+    viewer = WebViewer(ocean, fps=60.0, width=64, height=36, spray=True,
+                       frame_batch=3)
+    port = viewer.start(port=0)
+    try:
+        deadline = time.time() + 120
+        state = {}
+        while time.time() < deadline:
+            state = json.loads(_get(port, "/state")[2])
+            if state.get("frame", 0) >= 6:
+                break
+            time.sleep(0.5)
+        assert state["frame"] >= 6
+        assert state["frame_batch"] == 3
+        status, ctype, _ = _get(port, "/frame.png")
+        assert status == 200 and ctype in ("image/jpeg", "image/png")
+        # sim time advanced in K-sized steps under ups==0 semantics
+        assert ocean._time > 0
+
+        # nonzero update rate -> batched mode ineligible; frames keep coming
+        assert _post(port, {"name": "updates_per_second", "value": 24.0}) == 200
+        f0 = json.loads(_get(port, "/state")[2])["frame"]
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            if json.loads(_get(port, "/state")[2])["frame"] > f0 + 2:
+                break
+            time.sleep(0.5)
+        assert json.loads(_get(port, "/state")[2])["frame"] > f0 + 2
+    finally:
+        viewer.stop()
