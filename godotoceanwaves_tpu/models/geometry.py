@@ -497,6 +497,7 @@ def render_ocean_geometry(
     fan_tau: int = 320,         # fan march: log-depth-axis resolution
     fan_rows: int = 8,          # fan march: rows sharing one profile
     gradient_lod: bool = True,  # screen-space mip LOD for the gradient taps
+    tap_impl: str = "auto",     # "auto" | "einsum" | "pallas"[-interpret]
     lod_bands: int = 16,        # max horizontal LOD bands (must divide H)
     lod_levels: int = 4,        # max mip pyramid depth for the LOD taps
     lod_bias: float = 1.0,      # >1 = coarser mips (speed/detail tradeoff)
@@ -942,8 +943,18 @@ def render_ocean_geometry(
         lev = shading.gradient_band_levels(
             dist_g.reshape(nb, -1), hit_g.reshape(nb, -1), map_scales,
             theta_pix, maps.normal.shape[-1], len(pyr), bias=lod_bias)
+        # "auto" stays on the XLA einsum tap for now; "pallas" selects the
+        # fused weight-build+contraction kernel (ops/pallas_tap — no HBM
+        # weight/rows intermediates; forced to interpret off-TPU)
+        if tap_impl == "auto":
+            resolved_tap = "einsum"
+        elif tap_impl == "pallas" and jax.default_backend() != "tpu":
+            resolved_tap = "pallas-interpret"
+        else:
+            resolved_tap = tap_impl
         grad = shading.cascade_gradient_lod(
-            pyr, map_scales, uv_g.reshape(nb, -1, 2), lev)
+            pyr, map_scales, uv_g.reshape(nb, -1, 2), lev,
+            tap_impl=resolved_tap)
         grad = grad.reshape(h_g, w_g, 3)
     else:
         grad = shading.cascade_gradient(maps.normal, map_scales, uv_g,

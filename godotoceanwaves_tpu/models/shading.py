@@ -245,7 +245,8 @@ def cascade_gradient(normal_maps: jax.Array, map_scales: jax.Array,
     return grad
 
 
-def _gradient_tap(planes: jax.Array, s: jax.Array, xz: jax.Array) -> jax.Array:
+def _gradient_tap(planes: jax.Array, s: jax.Array, xz: jax.Array,
+                  impl: str = "einsum") -> jax.Array:
     """One cascade's blended gradient tap at world xz on the MXU sampler.
 
     planes: (3, R, R) [grad_x, grad_y, foam]; s: the cascade's map_scales
@@ -261,6 +262,23 @@ def _gradient_tap(planes: jax.Array, s: jax.Array, xz: jax.Array) -> jax.Array:
     uv = xz * s[:2]
     ppm = n * jnp.minimum(s[0], s[1])
     mix_t = jnp.minimum(1.0, ppm * 0.1)
+    if impl != "einsum":
+        # fused weight-build + contraction (ops/pallas_tap): circular
+        # weights on BOTH axes = exactly this full-table tap
+        from ..ops.pallas_tap import fused_tap
+        interp = impl == "pallas-interpret"
+        f = uv * n - 0.5
+        shape = xz.shape[:-1]
+        fx = f[..., 0].reshape(-1)
+        fv = f[..., 1].reshape(-1)
+        win16 = planes.astype(jnp.bfloat16)
+        out = jax.lax.cond(
+            mix_t >= 1.0,
+            lambda: fused_tap(win16, fv, fx, None, circular=True,
+                              interpret=interp),
+            lambda: fused_tap(win16, fv, fx, mix_t, circular=True,
+                              interpret=interp))
+        return out.reshape((3,) + shape)
     return jax.lax.cond(
         mix_t >= 1.0,
         lambda: sample_bilinear_mxu(planes, uv),
@@ -286,7 +304,7 @@ def _window_weights(rel: jax.Array, m: int, cubic: bool) -> jax.Array:
 
 
 def _slab_tap(planes_pad: jax.Array, s: jax.Array, xz: jax.Array,
-              slab: int) -> jax.Array:
+              slab: int, impl: str = "einsum") -> jax.Array:
     """`_gradient_tap` with the v-axis contraction cropped to a `slab`-row
     window of the (v-duplicated) table.
 
@@ -310,6 +328,21 @@ def _slab_tap(planes_pad: jax.Array, s: jax.Array, xz: jax.Array,
     start = jnp.mod(v0.astype(jnp.int32), n)
     win = jax.lax.dynamic_slice(planes_pad, (0, start, 0), (3, slab, n))
     win16 = win.astype(jnp.bfloat16)
+    ppm = n * jnp.minimum(s[0], s[1])
+    mix_t = jnp.minimum(1.0, ppm * 0.1)
+    if impl != "einsum":
+        # fused weight-build + contraction (ops/pallas_tap): window
+        # weights on v, circular on x — same texels, same weights
+        from ..ops.pallas_tap import fused_tap
+        interp = impl == "pallas-interpret"
+        shape = xz.shape[:-1]
+        relf = rel.reshape(-1)
+        fxf = fx.reshape(-1)
+        out = jax.lax.cond(
+            mix_t >= 1.0,
+            lambda: fused_tap(win16, relf, fxf, None, interpret=interp),
+            lambda: fused_tap(win16, relf, fxf, mix_t, interpret=interp))
+        return out.reshape((3,) + shape)
     wx_lin = _wrap_weights(fx, n, cubic=False)
 
     def tap(cubic):
@@ -321,8 +354,6 @@ def _slab_tap(planes_pad: jax.Array, s: jax.Array, xz: jax.Array,
         out = jnp.einsum("...ck,...k->...c", rows, wx)
         return jnp.moveaxis(out, -1, 0)
 
-    ppm = n * jnp.minimum(s[0], s[1])
-    mix_t = jnp.minimum(1.0, ppm * 0.1)
     return jax.lax.cond(
         mix_t >= 1.0,
         lambda: tap(False),
@@ -395,7 +426,8 @@ def gradient_band_levels(dist_b: jax.Array, hit_b: jax.Array,
 
 def cascade_gradient_lod(pyramid: list, map_scales: jax.Array,
                          xz_bands: jax.Array, band_levels: jax.Array,
-                         slab_crop: bool = True) -> jax.Array:
+                         slab_crop: bool = True,
+                         tap_impl: str = "einsum") -> jax.Array:
     """`cascade_gradient` (mxu sampler) with per-band mip levels.
 
     pyramid: from `normal_gradient_pyramid`; xz_bands: (B, P, 2) banded
@@ -412,6 +444,11 @@ def cascade_gradient_lod(pyramid: list, map_scales: jax.Array,
     at the 720p viewer pose, with the 88/57 m cascades' near bands at
     1/4-1/8 windows; the R window falls back to the exact circular tap).
     Same weights, same texels — not an approximation.
+
+    tap_impl: "einsum" (XLA two-einsum tap) or "pallas" /
+    "pallas-interpret" (ops/pallas_tap.fused_tap — fused weight-build +
+    contraction, no HBM weight/rows intermediates; same texels/weights,
+    fp32 reduction order differs ~1e-5).
     """
     nlev = len(pyramid)
     ncasc = pyramid[0].shape[0]
@@ -421,20 +458,21 @@ def cascade_gradient_lod(pyramid: list, map_scales: jax.Array,
 
     def tap_at(l, i, s, xz_b):
         if not slab_crop:
-            return _gradient_tap(pyramid[l][i], s, xz_b)
+            return _gradient_tap(pyramid[l][i], s, xz_b, impl=tap_impl)
         n_l = pyramid[l].shape[-1]
         sizes = [m for m in (n_l // 8, n_l // 4, n_l // 2)
                  if m >= 16]
         if not sizes:
-            return _gradient_tap(pyramid[l][i], s, xz_b)
+            return _gradient_tap(pyramid[l][i], s, xz_b, impl=tap_impl)
         fv = xz_b[..., 1] * s[1] * n_l
         ext = jnp.max(fv) - jnp.min(fv)
         # smallest window with ext + 4-texel footprint margin inside it
         idx = sum((ext + 5.0 > m).astype(jnp.int32) for m in sizes)
         slabs = [
-            (lambda m=m: _slab_tap(pyr_pad[l][i], s, xz_b, m))
+            (lambda m=m: _slab_tap(pyr_pad[l][i], s, xz_b, m,
+                                   impl=tap_impl))
             for m in sizes
-        ] + [lambda: _gradient_tap(pyramid[l][i], s, xz_b)]
+        ] + [lambda: _gradient_tap(pyramid[l][i], s, xz_b, impl=tap_impl)]
         return jax.lax.switch(idx, slabs)
 
     def band(_, inp):
