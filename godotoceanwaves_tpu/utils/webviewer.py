@@ -106,6 +106,9 @@ _PAGE = """<!doctype html>
    <option>quality</option><option>interactive</option>
    <option>performance</option></select></div>
  <div class="row"><label>render scale</label><select id="rscale"></select></div>
+ <div class="row"><label>frame batch</label><select id="fbatch">
+   <option>1</option><option>2</option><option>4</option>
+   <option>8</option></select></div>
  <div class="row"><label>spray</label><input id="spray" type="checkbox"></div>
  <div class="row"><label>updates/s</label>
    <input id="ups" type="range" min="0" max="60" step="1">
@@ -167,6 +170,8 @@ async function refreshState() {
                               value: Number(rs.value.slice(2))});
   }
   if (document.activeElement !== rs) rs.value = '1/' + state.render_scale;
+  if (document.activeElement !== el('fbatch'))
+    el('fbatch').value = state.frame_batch;
   el('spray').checked = state.spray;
   el('ncasc').textContent = state.cascades.length;
   if (document.activeElement !== el('wcolor')) el('wcolor').value = hex(state.water_color);
@@ -196,6 +201,8 @@ el('wcolor').onchange = e => post({name: 'water_color', value: rgb(e.target.valu
 el('fcolor').onchange = e => post({name: 'foam_color', value: rgb(e.target.value)});
 el('meshq').onchange = e => post({name: 'mesh_quality', value: e.target.value});
 el('rtier').onchange = e => post({name: 'render_tier', value: e.target.value});
+el('fbatch').onchange = e => post({name: 'frame_batch',
+                                   value: Number(e.target.value)});
 el('spray').onchange = e => post({name: 'spray', value: e.target.checked});
 el('addcasc').onclick = () => post({name: 'num_cascades',
                                     value: state.cascades.length + 1});
@@ -693,6 +700,15 @@ class WebViewer:
         if name == "render_scale":
             # dynamic resolution swap: same retrace hazard, same worker
             self._rescale_async(int(value))
+            return
+        if name == "frame_batch":
+            # host-side int the sim loop reads each iteration; the K>1
+            # megastep (re)builds lazily in-loop (first use of a new K
+            # pays its compile there, like a spray toggle)
+            k = int(value)
+            if not 1 <= k <= 8:
+                raise KeyError(value)
+            self.frame_batch = k
             return
         with self._ocean_lock:
             if name == "mesh_quality":

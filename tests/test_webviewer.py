@@ -588,6 +588,12 @@ def test_webviewer_frame_batch_validation():
     for bad in (0, 9, 2.0, -1):
         with pytest.raises(ValueError):
             WebViewer(ocean, width=64, height=36, frame_batch=bad)
+    # the /set panel edit path (host-side, no server needed)
+    viewer = WebViewer(ocean, width=64, height=36)
+    viewer._apply({"name": "frame_batch", "value": 4})
+    assert viewer.frame_batch == 4
+    with pytest.raises(KeyError):
+        viewer._apply({"name": "frame_batch", "value": 12})
 
 
 @pytest.mark.slow
