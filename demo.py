@@ -84,6 +84,10 @@ def main() -> None:
                     help="camera pitch degrees (negative looks down)")
     ap.add_argument("--yaw", type=float, default=0.0,
                     help="camera yaw degrees")
+    ap.add_argument("--frame-batch", type=int, default=1,
+                    help="--web: K-frame dispatch batching (1-8; one jitted "
+                         "program per K served frames — throughput mode, "
+                         "docs/PERF.md 'viewer K-frame dispatch batching')")
     ap.add_argument("--fov", type=float, default=70.0,
                     help="camera field of view, degrees (reference panel "
                          "range 20-170, main.gd:113-114)")
@@ -140,7 +144,8 @@ def main() -> None:
                   mesh_quality=args.mesh_quality, spray=args.spray,
                   spray_particles=args.spray_particles,
                   render_tier=args.render_tier or "interactive",
-                  render_scale=args.render_scale
+                  render_scale=args.render_scale,
+                  frame_batch=args.frame_batch
                   ).run(port=args.port)
         return
 

@@ -49,6 +49,27 @@ CLIPMAP_PRESETS: dict[str, dict] = {
 }
 
 
+def _resolve_tap_impl(tap_impl: str, table_n: int) -> str:
+    """Resolve the gradient-tap implementation for a render.
+
+    "auto" picks the fused Pallas weight-build+contraction kernel
+    (ops/pallas_tap) on TPU for tables up to 1024² — measured ≥ the XLA
+    einsum tap at every swept size (640x360 interactive 8.45 -> 7.60 ms,
+    native 720p neutral; docs/PERF.md round-5 "fused Pallas gradient
+    taps") — and the einsum tap elsewhere: off-TPU the kernel only runs
+    interpreted (slow, for parity tests), and past 1024² the (3, slab, n)
+    VMEM-resident window outgrows Mosaic's scoped VMEM on the blend path.
+    An explicit "pallas" off-TPU is forced to "pallas-interpret".
+    """
+    if tap_impl == "auto":
+        if jax.default_backend() == "tpu" and table_n <= 1024:
+            return "pallas"
+        return "einsum"
+    if tap_impl == "pallas" and jax.default_backend() != "tpu":
+        return "pallas-interpret"
+    return tap_impl
+
+
 @functools.lru_cache(maxsize=4)
 def clipmap_axis_coords(quality: str = "high") -> np.ndarray:
     """The clipmap's graded 1D axis coordinates (k,), via the C19 generator.
@@ -943,15 +964,7 @@ def render_ocean_geometry(
         lev = shading.gradient_band_levels(
             dist_g.reshape(nb, -1), hit_g.reshape(nb, -1), map_scales,
             theta_pix, maps.normal.shape[-1], len(pyr), bias=lod_bias)
-        # "auto" stays on the XLA einsum tap for now; "pallas" selects the
-        # fused weight-build+contraction kernel (ops/pallas_tap — no HBM
-        # weight/rows intermediates; forced to interpret off-TPU)
-        if tap_impl == "auto":
-            resolved_tap = "einsum"
-        elif tap_impl == "pallas" and jax.default_backend() != "tpu":
-            resolved_tap = "pallas-interpret"
-        else:
-            resolved_tap = tap_impl
+        resolved_tap = _resolve_tap_impl(tap_impl, maps.normal.shape[-1])
         grad = shading.cascade_gradient_lod(
             pyr, map_scales, uv_g.reshape(nb, -1, 2), lev,
             tap_impl=resolved_tap)

@@ -64,7 +64,9 @@ def _v_weights(rel, slab, cubic, circular):
     """(P_t, slab) v-axis weights at window-relative coordinate rel.
     Window mode = `shading._window_weights`; circular mode (full-table
     fallback) = `shading._wrap_weights` incl. the mod-n wrap."""
-    iota = jax.lax.broadcasted_iota(jnp.float32, (rel.shape[0], slab), 1)
+    # int iota + cast: Mosaic's tpu.iota only produces integer vectors
+    iota = jax.lax.broadcasted_iota(
+        jnp.int32, (rel.shape[0], slab), 1).astype(jnp.float32)
     if circular:
         rel = jnp.mod(rel, slab)
         d = jnp.abs(rel[:, None] - iota)
@@ -77,7 +79,8 @@ def _v_weights(rel, slab, cubic, circular):
 def _x_weights(fx, n, cubic):
     """(P_t, n) circular x-axis weights (= `shading._wrap_weights`)."""
     fw = jnp.mod(fx, n)
-    iota = jax.lax.broadcasted_iota(jnp.float32, (fx.shape[0], n), 1)
+    iota = jax.lax.broadcasted_iota(
+        jnp.int32, (fx.shape[0], n), 1).astype(jnp.float32)
     d = jnp.abs(fw[:, None] - iota)
     d = jnp.minimum(d, n - d)
     return (_cubic(d) if cubic else _hat(d)).astype(jnp.bfloat16)
@@ -86,8 +89,8 @@ def _x_weights(fx, n, cubic):
 def _tap_kernel_linear(rel_ref, fx_ref, win_ref, out_ref, *, slab, n,
                        circular):
     """Linear-only tap tile (the mix_t >= 1 saturation path)."""
-    rel = rel_ref[0]
-    fx = fx_ref[0]
+    rel = rel_ref[0, 0]
+    fx = fx_ref[0, 0]
     wy = _v_weights(rel, slab, cubic=False, circular=circular)
     wx = _x_weights(fx, n, cubic=False).astype(jnp.float32)
     rows = jnp.dot(wy, win_ref[:], preferred_element_type=jnp.float32)
@@ -99,9 +102,9 @@ def _tap_kernel_blend(rel_ref, fx_ref, mix_ref, win_ref, out_ref, *, slab,
                       n, circular):
     """Blended tap tile: cubic*(1-t) + linear*t, both stages fused. The
     two wy variants stack into ONE (2*P_t, slab) MXU dot."""
-    rel = rel_ref[0]
-    fx = fx_ref[0]
-    t = mix_ref[0]
+    rel = rel_ref[0, 0]
+    fx = fx_ref[0, 0]
+    t = mix_ref[0, 0]
     wy = jnp.concatenate(
         [_v_weights(rel, slab, cubic=True, circular=circular),
          _v_weights(rel, slab, cubic=False, circular=circular)], axis=0)
@@ -136,11 +139,15 @@ def fused_tap(win16: jax.Array, rel: jax.Array, fx: jax.Array,
     p = rel.shape[0]
     grid = pl.cdiv(p, PIXEL_TILE)
     p_pad = grid * PIXEL_TILE
-    rel_t = _pad_tiles(rel.astype(jnp.float32), p_pad).reshape(grid, -1)
-    fx_t = _pad_tiles(fx.astype(jnp.float32), p_pad).reshape(grid, -1)
+    # coords carry a singleton middle axis so each tile's block
+    # (1, 1, PIXEL_TILE) has its last two dims EQUAL to the array's —
+    # Mosaic's block-mapping rule (divisible by (8, 128) or equal);
+    # a flat (1, PIXEL_TILE) block over (grid, PIXEL_TILE) fails it.
+    rel_t = _pad_tiles(rel.astype(jnp.float32), p_pad).reshape(grid, 1, -1)
+    fx_t = _pad_tiles(fx.astype(jnp.float32), p_pad).reshape(grid, 1, -1)
     flat_win = jnp.swapaxes(win16, 0, 1).reshape(slab, 3 * n)
 
-    coord_spec = pl.BlockSpec((1, PIXEL_TILE), lambda i: (i, 0),
+    coord_spec = pl.BlockSpec((1, 1, PIXEL_TILE), lambda i: (i, 0, 0),
                               memory_space=pltpu.VMEM)
     win_spec = pl.BlockSpec((slab, 3 * n), lambda i: (0, 0),
                             memory_space=pltpu.VMEM)
@@ -162,8 +169,11 @@ def fused_tap(win16: jax.Array, rel: jax.Array, fx: jax.Array,
             interpret=interpret,
         )(rel_t, fx_t, flat_win)
     else:
-        mix = jnp.broadcast_to(jnp.asarray(mix_t, jnp.float32), (grid,))
-        mix_spec = pl.BlockSpec((1,), lambda i: (i,),
+        # one scalar for the whole call: a (1, 1) array with a constant
+        # index map is the only SMEM block shape Mosaic's block-mapping
+        # rule admits here (block == array dims)
+        mix = jnp.asarray(mix_t, jnp.float32).reshape(1, 1)
+        mix_spec = pl.BlockSpec((1, 1), lambda i: (0, 0),
                                 memory_space=pltpu.SMEM)
         kern = functools.partial(_tap_kernel_blend, slab=slab, n=n,
                                  circular=circular)

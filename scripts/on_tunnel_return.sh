@@ -28,6 +28,11 @@ date +"%F %T relay BACK" | tee "$LOG/returned.txt"
 
 # Each stage runs in its own process (the backend pages HBM to host; fresh
 # processes avoid cross-contamination) and is individually bounded.
+echo "=== auto-tap confirm (round 5: tap_impl=auto -> pallas) ===" && date
+timeout 2400 python scripts/profile_pallas_tap.py auto \
+    > "$LOG/confirm_auto_tap.log" 2>&1
+echo "confirm_auto_tap exit=$?"
+
 echo "=== bench.py ===" && date
 timeout 3000 python bench.py > "$LOG/bench.log" 2>&1
 echo "bench exit=$?"

@@ -50,9 +50,10 @@ def main():
     scales = ocean.params.map_scales()
     cam0 = jnp.array([0.0, 12.0, 0.0], jnp.float32)
 
+    impls = tuple(sys.argv[1:]) or ("einsum", "pallas")
     first = None
     for (w, h) in ((1280, 720), (640, 360)):
-        for impl in ("einsum", "pallas"):
+        for impl in impls:
             @jax.jit
             def frame(eps, w=w, h=h, impl=impl):
                 cam = cam0 + eps * 1e-6
@@ -66,7 +67,7 @@ def main():
             print(f"{w:4d}x{h} tap={impl:6s}: {ms:7.2f} ms "
                   f"({1e3 / ms:6.1f} fps)", flush=True)
             # cross-impl image check at 720p (first size only)
-            if w == 1280:
+            if w == 1280 and len(impls) > 1:
                 img = jax.jit(lambda impl=impl, w=w, h=h:
                               geometry.render_ocean_geometry(
                                   maps, scales, quality="high", width=w,

@@ -114,3 +114,21 @@ def test_cascade_gradient_lod_pallas_full_path():
                                        tap_impl="pallas-interpret")
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=0, atol=5e-5)
+
+
+def test_resolve_tap_impl(monkeypatch):
+    """'auto' picks the fused kernel only on TPU and only for tables the
+    VMEM-resident window can hold; explicit 'pallas' off-TPU interprets."""
+    from godotoceanwaves_tpu.models import geometry
+
+    monkeypatch.setattr(geometry.jax, "default_backend", lambda: "tpu")
+    assert geometry._resolve_tap_impl("auto", 1024) == "pallas"
+    assert geometry._resolve_tap_impl("auto", 2048) == "einsum"
+    assert geometry._resolve_tap_impl("pallas", 2048) == "pallas"
+    assert geometry._resolve_tap_impl("einsum", 256) == "einsum"
+
+    monkeypatch.setattr(geometry.jax, "default_backend", lambda: "cpu")
+    assert geometry._resolve_tap_impl("auto", 1024) == "einsum"
+    assert geometry._resolve_tap_impl("pallas", 1024) == "pallas-interpret"
+    assert geometry._resolve_tap_impl("pallas-interpret", 64) == \
+        "pallas-interpret"
