@@ -84,6 +84,11 @@ def main() -> None:
                     help="camera pitch degrees (negative looks down)")
     ap.add_argument("--yaw", type=float, default=0.0,
                     help="camera yaw degrees")
+    ap.add_argument("--specular-aa", action="store_true",
+                    help="screen-space specular anti-aliasing (widens the "
+                         "GGX lobe by the normal's screen-space variance — "
+                         "dims isolated glint sparkles; opt-in, not in the "
+                         "reference)")
     ap.add_argument("--frame-batch", type=int, default=1,
                     help="--web: K-frame dispatch batching (1-8; one jitted "
                          "program per K served frames — throughput mode, "
@@ -171,6 +176,8 @@ def main() -> None:
     tier_kw = dict(RENDER_TIERS[args.render_tier or "quality"])
     if args.render_scale > 1:
         tier_kw["render_scale"] = args.render_scale
+    if args.specular_aa and not args.flat:
+        tier_kw["specular_aa"] = True   # rides shade_kwargs into shade()
     viewport = SceneRenderer(args.width, args.height, flat=args.flat,
                              mesh_quality=args.mesh_quality,
                              environment=args.environment, **tier_kw)

@@ -525,6 +525,7 @@ def shade(
     roughness: float = 0.4,
     normal_strength: float = 1.0,
     sky_ambient: bool = True,
+    specular_aa: bool = False,
 ) -> jax.Array:
     """Full fragment+light shading (water.gdshader:72-127) -> linear RGB.
 
@@ -536,7 +537,19 @@ def shade(
     disables shadows, ambient stays on) — the view ray reflected about the
     shading normal samples the sky radiance at that roughness's blur,
     weighted by fresnel. ``sky_ambient=False`` reproduces the bare
-    fragment+light math (rounds 1-4 behavior; see docs/PARITY.md)."""
+    fragment+light math (rounds 1-4 behavior; see docs/PARITY.md).
+
+    ``specular_aa`` (opt-in, NOT in the reference — it rasterizes at native
+    resolution and simply sparkles) widens the GGX lobe by the shading
+    normal's screen-space variance (forward differences along the two
+    screen axes; the standard screen-space specular-AA construction):
+    alpha' = sqrt(alpha^2 + sigma2), sigma2 = clip(0.25*|dN|^2, 0, 0.18).
+    A flat normal field leaves specular bit-identical; a sub-pixel-busy
+    one trades isolated glint outliers for a wider, stabler highlight —
+    the internal-render lever the render_scale sweep identified for its
+    ~95/255 specular outliers (docs/PERF.md "catrom lift verdict").
+    Requires (..., H, W, 3) screen structure. The reference-quirk Smith
+    calls keep the scalar material roughness either way."""
     water_color = jnp.asarray(water_color, jnp.float32)
     foam_color = jnp.asarray(foam_color, jnp.float32)
     light_color = jnp.asarray(light_color, jnp.float32)
@@ -566,7 +579,23 @@ def shade(
     # reference quirk preserved: smith called as (roughness, dot)
     light_mask = smith_masking_shadowing(jnp.float32(roughness), dot_nv)
     view_mask = smith_masking_shadowing(jnp.float32(roughness), dot_nl)
-    dist_ggx = ggx_distribution(jnp.sum(normal * halfway, axis=-1), jnp.float32(roughness))
+    if specular_aa:
+        if gradient.ndim < 3:
+            raise ValueError(
+                "specular_aa needs (..., H, W, 3) screen structure, got "
+                f"gradient shape {gradient.shape}")
+        dnx = jnp.zeros_like(normal)
+        dnx = dnx.at[..., 1:, :, :].set(normal[..., 1:, :, :]
+                                        - normal[..., :-1, :, :])
+        dny = jnp.zeros_like(normal)
+        dny = dny.at[..., :, 1:, :].set(normal[..., :, 1:, :]
+                                        - normal[..., :, :-1, :])
+        sigma2 = jnp.clip(0.25 * jnp.sum(dnx * dnx + dny * dny, axis=-1),
+                          0.0, 0.18)
+        alpha_ndf = jnp.sqrt(jnp.float32(roughness) ** 2 + sigma2)
+    else:
+        alpha_ndf = jnp.float32(roughness)
+    dist_ggx = ggx_distribution(jnp.sum(normal * halfway, axis=-1), alpha_ndf)
     geom = 1.0 / (1.0 + light_mask + view_mask)
     specular = fresnel * dist_ggx * geom / (4.0 * dot_nv + 0.1)
 

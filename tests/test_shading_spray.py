@@ -382,3 +382,53 @@ def test_cascade_gradient_bilinear_fast_path_is_exact():
     b = np.asarray(shading.cascade_gradient(maps, scales, xz, sampler="mxu"))
     scale = max(1e-6, float(np.abs(a).max()))
     assert np.abs(a - b).max() / scale < 2e-2
+
+
+def test_shade_specular_aa():
+    """Opt-in screen-space specular AA: flat normal fields shade
+    bit-identically (zero variance adds nothing to the GGX alpha); a
+    sub-pixel-busy field keeps its peak glint bounded by the unfiltered
+    render's while lighting more pixels (the lobe widens)."""
+    rng = np.random.RandomState(7)
+    h, w = 24, 32
+    view = jnp.broadcast_to(jnp.asarray([0.0, 0.8, -0.6]), (h, w, 3))
+    light = jnp.asarray([0.0, 0.7, 0.714])
+    dist = jnp.full((h, w), 30.0)
+    hgt = jnp.zeros((h, w))
+
+    flat = jnp.broadcast_to(jnp.asarray([0.05, -0.03, 0.0]), (h, w, 3))
+    off = np.asarray(shading.shade(flat, hgt, view, light, dist))
+    on = np.asarray(shading.shade(flat, hgt, view, light, dist,
+                                  specular_aa=True))
+    np.testing.assert_array_equal(on, off)
+
+    # deterministic sparkle: a checkerboard alternating a mirror-aligned
+    # gradient (the glint) with an off-mirror one. AA widens the GGX alpha
+    # at every pixel (all neighbors differ), so D(cos≈1, alpha) at the
+    # glint pixels — the 1/(pi*alpha^2) peak — must strictly DROP: the
+    # sparkle dims into a wider lobe. (A global-max bound would be wrong:
+    # off-peak pixels legitimately brighten as the lobe widens.)
+    half = np.array([0.0, 0.8, -0.6]) + np.array([0.0, 0.7, 0.714])
+    half /= np.linalg.norm(half)
+    fade = 0.015 + (1.0 - 0.015) * np.exp(-30.0 * 0.0175)
+    g_mirror = np.array([-half[0] / half[1], 0.0, -half[2] / half[1]]) / fade
+    g_mirror[1] = 0.0
+    board = np.where((np.indices((h, w)).sum(0) % 2 == 0)[..., None],
+                     g_mirror[None, None, [0, 2, 1]],
+                     np.array([1.4, -0.9, 0.0])[None, None])
+    busy = jnp.asarray(board, jnp.float32)
+    off_b = np.asarray(shading.shade(busy, hgt, view, light, dist,
+                                     sky_ambient=False))
+    on_b = np.asarray(shading.shade(busy, hgt, view, light, dist,
+                                    sky_ambient=False, specular_aa=True))
+    assert np.isfinite(on_b).all()
+    ii, jj = np.indices((h, w))
+    # skip the first row/col: forward differences are zero-padded there,
+    # so those pixels see no variance by construction
+    glint = ((ii + jj) % 2 == 0) & (ii > 0) & (jj > 0)
+    assert (on_b[glint].mean(-1) < off_b[glint].mean(-1) - 1e-6).all()
+
+    # shade() without screen structure refuses the flag loudly
+    with pytest.raises(ValueError):
+        shading.shade(busy[0], hgt[0], view[0], light, dist[0],
+                      specular_aa=True)
