@@ -150,7 +150,8 @@ def main() -> None:
                   spray_particles=args.spray_particles,
                   render_tier=args.render_tier or "interactive",
                   render_scale=args.render_scale,
-                  frame_batch=args.frame_batch
+                  frame_batch=args.frame_batch,
+                  specular_aa=args.specular_aa and not args.flat
                   ).run(port=args.port)
         return
 

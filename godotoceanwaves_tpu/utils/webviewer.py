@@ -110,6 +110,8 @@ _PAGE = """<!doctype html>
    <option>1</option><option>2</option><option>4</option>
    <option>8</option></select></div>
  <div class="row"><label>spray</label><input id="spray" type="checkbox"></div>
+ <div class="row"><label>specular AA</label>
+   <input id="specaa" type="checkbox"></div>
  <div class="row"><label>updates/s</label>
    <input id="ups" type="range" min="0" max="60" step="1">
    <span class="val" id="upsv"></span></div>
@@ -173,6 +175,7 @@ async function refreshState() {
   if (document.activeElement !== el('fbatch'))
     el('fbatch').value = state.frame_batch;
   el('spray').checked = state.spray;
+  el('specaa').checked = state.specular_aa;
   el('ncasc').textContent = state.cascades.length;
   if (document.activeElement !== el('wcolor')) el('wcolor').value = hex(state.water_color);
   if (document.activeElement !== el('fcolor')) el('fcolor').value = hex(state.foam_color);
@@ -204,6 +207,8 @@ el('rtier').onchange = e => post({name: 'render_tier', value: e.target.value});
 el('fbatch').onchange = e => post({name: 'frame_batch',
                                    value: Number(e.target.value)});
 el('spray').onchange = e => post({name: 'spray', value: e.target.checked});
+el('specaa').onchange = e => post({name: 'specular_aa',
+                                   value: e.target.checked});
 el('addcasc').onclick = () => post({name: 'num_cascades',
                                     value: state.cascades.length + 1});
 el('subcasc').onclick = () => { cascade = 0;
@@ -318,7 +323,8 @@ class WebViewer:
                  mesh_quality: str = "low", flat: bool = False,
                  spray: bool = False, spray_particles: int = 32768,
                  transfer: str = "auto", render_tier: str = "interactive",
-                 render_scale: int = 1, frame_batch: int = 1):
+                 render_scale: int = 1, frame_batch: int = 1,
+                 specular_aa: bool = False):
         self.ocean = ocean
         # K-frame dispatch batching (models/viewport.make_batched_step): one
         # jitted program advances K sim ticks and renders all K frames —
@@ -355,6 +361,14 @@ class WebViewer:
                 f"{self._valid_render_scales} for "
                 f"{width}x{height} (flat={flat})")
         self.render_scale = render_scale
+        # screen-space specular AA (shading.shade specular_aa — opt-in
+        # glint-sparkle smoothing, not in the reference): a shade kwarg, so
+        # toggling retraces the render — edited live through the same async
+        # warm+swap worker as a tier change. The geometry path only.
+        if specular_aa and flat:
+            raise ValueError("specular_aa needs the geometry render path "
+                             "(flat=False)")
+        self.specular_aa = bool(specular_aa)
         if transfer not in ("auto", "rgb", "yuv420"):
             raise ValueError(f"unknown transfer {transfer!r}")
         self.transfer = transfer
@@ -443,7 +457,8 @@ class WebViewer:
             self.width, self.height, flat=self.flat,
             mesh_quality=self.mesh_quality, environment=self.environment,
             transfer=self._resolved_transfer(),
-            **self._scale_kw(), **RENDER_TIERS[self.render_tier])
+            **self._scale_kw(), **self._aa_kw(),
+            **RENDER_TIERS[self.render_tier])
 
     def _resolved_transfer(self) -> str:
         if self.transfer == "auto":
@@ -679,6 +694,7 @@ class WebViewer:
                 "retiering": retiering, "render_scale": self.render_scale,
                 "render_scales": self._valid_render_scales,
                 "frame_batch": self.frame_batch,
+                "specular_aa": self.specular_aa,
                 "ambience_db": list(ambience_gains_db(total_wind))}
 
     def _apply(self, req: dict) -> None:
@@ -709,6 +725,13 @@ class WebViewer:
             if not 1 <= k <= 8:
                 raise KeyError(value)
             self.frame_batch = k
+            return
+        if name == "specular_aa":
+            # a shade kwarg: toggling retraces the render — same async
+            # warm+swap worker as a tier change (flat has no shade path)
+            if self.flat:
+                raise KeyError(name)
+            self._reconfigure_async("specular_aa", bool(value))
             return
         with self._ocean_lock:
             if name == "mesh_quality":
@@ -785,32 +808,39 @@ class WebViewer:
                     want_tier = self._reconf_pending.pop("render_tier", None)
                     want_scale = self._reconf_pending.pop("render_scale",
                                                           None)
+                    want_aa = self._reconf_pending.pop("specular_aa", None)
                 scale_requested = want_scale is not None
+                aa_requested = want_aa is not None
                 if want_scale == self.render_scale:
                     want_scale = None           # scale == current: no-op
+                if want_aa == self.specular_aa:
+                    want_aa = None              # aa == current: no-op
                 tier_changed = (want_tier is not None
                                 and want_tier != self.render_tier)
-                if want_size is not None and (tier_changed
-                                              or want_scale is not None):
+                rebuild = (tier_changed or want_scale is not None
+                           or want_aa is not None)
+                if want_size is not None and rebuild:
                     self._warm_size_and_tier(
                         want_size, want_tier or self.render_tier,
-                        scale=want_scale)
+                        scale=want_scale, aa=want_aa)
                 elif want_size is not None:
                     self._warm_one_size(want_size)
                     if want_tier is not None:   # tier == current: no-op swap
                         self.render_tier = want_tier
-                elif tier_changed or want_scale is not None:
+                elif rebuild:
                     self._warm_one_tier(want_tier or self.render_tier,
-                                        scale=want_scale)
+                                        scale=want_scale, aa=want_aa)
                 elif want_tier is not None:     # tier == current: no-op swap
                     self.render_tier = want_tier
                 with self._cam_lock:
                     if want_size is not None \
                             and "map_size" not in self._reconf_pending:
                         self._resizing = False
-                    if (want_tier is not None or scale_requested) \
+                    if (want_tier is not None or scale_requested
+                            or aa_requested) \
                             and "render_tier" not in self._reconf_pending \
-                            and "render_scale" not in self._reconf_pending:
+                            and "render_scale" not in self._reconf_pending \
+                            and "specular_aa" not in self._reconf_pending:
                         self._retiering = False
         except Exception:
             import traceback
@@ -878,9 +908,11 @@ class WebViewer:
         self._reconfigure_async("render_scale", int(scale))
 
     def _warm_size_and_tier(self, new_size: int, tier: str,
-                            scale: int | None = None) -> None:
-        """Combined warm for a size+tier(+scale) group requested together:
-        one new renderer compiled at the new size, one atomic swap of all."""
+                            scale: int | None = None,
+                            aa: bool | None = None) -> None:
+        """Combined warm for a size+tier(+scale/aa) group requested
+        together: one new renderer compiled at the new size, one atomic
+        swap of all."""
         import jax.numpy as jnp
 
         from .. import init_state
@@ -888,7 +920,7 @@ class WebViewer:
         from ..models.viewport import SpraySession
         import dataclasses as _dc
 
-        vp = self._build_tier_renderer(tier, scale)
+        vp = self._build_tier_renderer(tier, scale, aa)
         cfg = _dc.replace(self.ocean.config, map_size=new_size)
         params = self.ocean.params
         state = init_state(cfg, params)
@@ -908,6 +940,8 @@ class WebViewer:
             self.render_tier = tier
             if scale is not None:
                 self.render_scale = scale
+            if aa is not None:
+                self.specular_aa = aa
             snap = self._snapshot_ocean()
         with self._frame_lock:
             self._state_cache = snap
@@ -916,27 +950,35 @@ class WebViewer:
         s = self.render_scale if scale is None else scale
         return ({"render_scale": s} if s > 1 and not self.flat else {})
 
-    def _build_tier_renderer(self, tier: str, scale: int | None = None):
+    def _aa_kw(self, aa: bool | None = None) -> dict:
+        a = self.specular_aa if aa is None else aa
+        return ({"specular_aa": True} if a and not self.flat else {})
+
+    def _build_tier_renderer(self, tier: str, scale: int | None = None,
+                             aa: bool | None = None):
         from ..models.viewport import RENDER_TIERS, SceneRenderer
         return SceneRenderer(self.width, self.height, flat=self.flat,
                              mesh_quality=self.mesh_quality,
                              environment=self.environment,
                              transfer=self._resolved_transfer(),
-                             **self._scale_kw(scale), **RENDER_TIERS[tier])
+                             **self._scale_kw(scale), **self._aa_kw(aa),
+                             **RENDER_TIERS[tier])
 
-    def _warm_one_tier(self, tier: str, scale: int | None = None) -> None:
+    def _warm_one_tier(self, tier: str, scale: int | None = None,
+                       aa: bool | None = None) -> None:
         """Build + compile the new tier's renderer on throwaway state (no
         lock held — frames keep flowing), then swap the live viewport.
-        `scale` (dynamic resolution) rebuilds even when `tier` is current."""
+        `scale` (dynamic resolution) and `aa` (specular AA) rebuild even
+        when `tier` is current."""
         import jax.numpy as jnp
 
         from .. import init_state
         from ..models.ocean import step
         from ..models.viewport import SpraySession
 
-        if tier == self.render_tier and scale is None:
+        if tier == self.render_tier and scale is None and aa is None:
             return
-        vp = self._build_tier_renderer(tier, scale)
+        vp = self._build_tier_renderer(tier, scale, aa)
         cfg = self.ocean.config
         params = self.ocean.params     # frozen pytree; safe to read unlocked
         state = init_state(cfg, params)
@@ -955,6 +997,8 @@ class WebViewer:
             self.render_tier = tier
             if scale is not None:
                 self.render_scale = scale
+            if aa is not None:
+                self.specular_aa = aa
 
     def _ambience_wav(self, which: str) -> bytes:
         """Seamless procedural loop bytes (utils/audio synthesis), cached —

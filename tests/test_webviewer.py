@@ -408,10 +408,10 @@ def test_webviewer_concurrent_resize_and_tier_serialize(monkeypatch):
 
     real_tier_warm = WebViewer._warm_one_tier
 
-    def spy_tier_warm(self, tier, scale=None):
+    def spy_tier_warm(self, tier, scale=None, aa=None):
         # must run AFTER the resize landed (serialized worker)
         tiers_warmed.append((tier, self.ocean.config.map_size))
-        real_tier_warm(self, tier, scale)
+        real_tier_warm(self, tier, scale, aa)
 
     monkeypatch.setattr(WebViewer, "_warm_one_size", slow_warm)
     monkeypatch.setattr(WebViewer, "_warm_one_tier", spy_tier_warm)
@@ -628,5 +628,68 @@ def test_webviewer_frame_batch_serves_and_falls_back():
                 break
             time.sleep(0.5)
         assert json.loads(_get(port, "/state")[2])["frame"] > f0 + 2
+    finally:
+        viewer.stop()
+
+
+def test_webviewer_specular_aa_validation():
+    """Constructor: flat viewers reject specular_aa loudly (the flat path
+    has no shade() screen structure); geometry viewers carry it into the
+    renderer's kwargs so /state always matches what renders."""
+    ocean = Ocean(map_size=64, updates_per_second=0)
+    with pytest.raises(ValueError, match="flat"):
+        WebViewer(ocean, width=64, height=36, flat=True, specular_aa=True)
+    v = WebViewer(ocean, width=64, height=36, specular_aa=True)
+    assert v.specular_aa is True
+    assert v._viewport.render_kwargs.get("specular_aa") is True
+    # the /set edit on a flat viewer 400s (KeyError), host-side
+    vf = WebViewer(ocean, width=64, height=36, flat=True)
+    with pytest.raises(KeyError):
+        vf._apply({"name": "specular_aa", "value": True})
+
+
+@pytest.mark.slow
+def test_webviewer_specular_aa_switch_async():
+    """The panel's specular-AA toggle swaps through the single async
+    reconfiguration worker (a shade-kwarg change retraces the render):
+    /state flips, the live renderer carries the kwarg, frames keep
+    serving, and toggling back rebuilds the plain renderer."""
+    ocean = Ocean(map_size=64, updates_per_second=0)
+    viewer = WebViewer(ocean, fps=30.0, width=64, height=36)
+    assert viewer.specular_aa is False
+    port = viewer.start(port=0)
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            state = json.loads(_get(port, "/state")[2])
+            if state.get("frame", 0) >= 2:
+                break
+            time.sleep(0.1)
+        f0 = state["frame"]
+        assert _post(port, {"name": "specular_aa", "value": True}) == 200
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            state = json.loads(_get(port, "/state")[2])
+            if state["specular_aa"] and not state["retiering"]:
+                break
+            time.sleep(0.2)
+        assert state["specular_aa"] is True and state["retiering"] is False
+        assert viewer._viewport.render_kwargs.get("specular_aa") is True
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            f1 = json.loads(_get(port, "/state")[2])["frame"]
+            if f1 > f0 + 1:
+                break
+            time.sleep(0.1)
+        assert f1 > f0 + 1
+        assert _post(port, {"name": "specular_aa", "value": False}) == 200
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            state = json.loads(_get(port, "/state")[2])
+            if not state["specular_aa"] and not state["retiering"]:
+                break
+            time.sleep(0.2)
+        assert state["specular_aa"] is False
+        assert "specular_aa" not in viewer._viewport.render_kwargs
     finally:
         viewer.stop()
