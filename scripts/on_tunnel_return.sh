@@ -33,6 +33,11 @@ timeout 2400 python scripts/profile_pallas_tap.py auto \
     > "$LOG/confirm_auto_tap.log" 2>&1
 echo "confirm_auto_tap exit=$?"
 
+echo "=== specular AA probe (round 5: cost + scale2-vs-native delta) ===" && date
+timeout 3000 python scripts/probe_specular_aa.py \
+    > "$LOG/probe_spec_aa.log" 2>&1
+echo "probe_spec_aa exit=$?"
+
 echo "=== bench.py ===" && date
 timeout 3000 python bench.py > "$LOG/bench.log" 2>&1
 echo "bench exit=$?"
