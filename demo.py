@@ -105,6 +105,10 @@ def main() -> None:
                          "cannot switch the platform here)")
     args = ap.parse_args()
 
+    if args.specular_aa and args.flat:
+        # reject rather than silently drop: the library raises the same way
+        ap.error("--specular-aa needs the geometry render path (no --flat)")
+
     if args.cpu:
         import jax
         jax.config.update("jax_platforms", "cpu")
@@ -151,7 +155,7 @@ def main() -> None:
                   render_tier=args.render_tier or "interactive",
                   render_scale=args.render_scale,
                   frame_batch=args.frame_batch,
-                  specular_aa=args.specular_aa and not args.flat
+                  specular_aa=args.specular_aa
                   ).run(port=args.port)
         return
 
@@ -177,7 +181,7 @@ def main() -> None:
     tier_kw = dict(RENDER_TIERS[args.render_tier or "quality"])
     if args.render_scale > 1:
         tier_kw["render_scale"] = args.render_scale
-    if args.specular_aa and not args.flat:
+    if args.specular_aa:
         tier_kw["specular_aa"] = True   # rides shade_kwargs into shade()
     viewport = SceneRenderer(args.width, args.height, flat=args.flat,
                              mesh_quality=args.mesh_quality,

@@ -549,7 +549,13 @@ def shade(
     the internal-render lever the render_scale sweep identified for its
     ~95/255 specular outliers (docs/PERF.md "catrom lift verdict").
     Requires (..., H, W, 3) screen structure. The reference-quirk Smith
-    calls keep the scalar material roughness either way."""
+    calls keep the scalar material roughness either way. Caveat for
+    rows-banded/sharded renders: the differences are zero-padded at each
+    local frame's first row/col, so a per-band shade applies no widening
+    on band-boundary rows and a sharded render does not bit-match the
+    full-frame one with this flag on (it needs a halo row the banded
+    path doesn't carry; that is why the option stays out of the sharded
+    parity gates and defaults off)."""
     water_color = jnp.asarray(water_color, jnp.float32)
     foam_color = jnp.asarray(foam_color, jnp.float32)
     light_color = jnp.asarray(light_color, jnp.float32)

@@ -211,6 +211,13 @@ class FramePipeline:
         prev, self._pending = self._pending, None
         return None if prev is None else np.asarray(prev)
 
+    def discard(self) -> None:
+        """Drop the pending frame WITHOUT publishing it — for mode/shape
+        transitions where the pending payload no longer matches what the
+        caller would serve (e.g. the viewer switching between single-frame
+        and K-frame batched dispatch, or changing K)."""
+        self._pending = None
+
 
 class SpraySession:
     """Persistent spray particle state + jitted step, shared across

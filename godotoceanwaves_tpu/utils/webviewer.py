@@ -107,8 +107,9 @@ _PAGE = """<!doctype html>
    <option>performance</option></select></div>
  <div class="row"><label>render scale</label><select id="rscale"></select></div>
  <div class="row"><label>frame batch</label><select id="fbatch">
-   <option>1</option><option>2</option><option>4</option>
-   <option>8</option></select></div>
+   <option>1</option><option>2</option><option>3</option>
+   <option>4</option><option>5</option><option>6</option>
+   <option>7</option><option>8</option></select></div>
  <div class="row"><label>spray</label><input id="spray" type="checkbox"></div>
  <div class="row"><label>specular AA</label>
    <input id="specaa" type="checkbox"></div>
@@ -333,11 +334,14 @@ class WebViewer:
         # off (every tick steps, so K ticks batch losslessly); otherwise
         # the loop falls back to single-frame dispatches. Pose/parameter
         # edits apply at batch granularity (~K/fps s latency).
-        if not (isinstance(frame_batch, int) and 1 <= frame_batch <= 8):
+        if not (isinstance(frame_batch, int)
+                and not isinstance(frame_batch, bool)
+                and 1 <= frame_batch <= 8):
             raise ValueError(f"frame_batch must be an int in [1, 8], "
                              f"got {frame_batch!r}")
         self.frame_batch = frame_batch
         self._batched = None   # (key, jitted fn, spray_params) cache
+        self._batch_pending_k = None   # K of batch_pipeline's pending batch
         self.environment = environment
         self.fps = fps
         self.width = width
@@ -520,8 +524,19 @@ class WebViewer:
         pipeline = FramePipeline()        # single-frame path
         batch_pipeline = FramePipeline()  # K-frame path (separate: pending
         #                                   payload shapes differ per mode)
+        last_mode = None
         while not self._stop.is_set():
-            if self._use_batched():
+            batched = self._use_batched()
+            mode = "batched" if batched else "single"
+            if mode != last_mode:
+                # mode transition: a pending frame/batch from the OTHER
+                # mode is arbitrarily stale (minutes, if the toggle sat) —
+                # drop it rather than time-rewind the stream
+                pipeline.discard()
+                batch_pipeline.discard()
+                self._batch_pending_k = None
+                last_mode = mode
+            if batched:
                 self._batched_tick(batch_pipeline, dt)
                 continue
             t0 = time.perf_counter()
@@ -571,19 +586,21 @@ class WebViewer:
                 and self.ocean.updates_per_second == 0
                 and not self.ocean.stagger)
 
-    def _batched_step_fn(self):
+    def _batched_step_fn(self, k: int):
         """(Re)build the jitted K-frame megastep when anything static about
         it changed: renderer swap (resize/tier), sim config (map resize),
-        spray toggle, or frame_batch edit."""
+        spray toggle, or frame_batch edit. `k` is the caller's
+        once-per-tick read of frame_batch — re-reading the live attribute
+        here would race a concurrent panel edit (the tick would then
+        advance the clock by a DIFFERENT k than the program ran)."""
         spray_params = (self._spray.ensure_init()[0]
                         if self.spray_enabled else None)
-        key = (id(self._viewport), self.ocean.config, self.frame_batch,
-               id(spray_params))
+        key = (id(self._viewport), self.ocean.config, k, id(spray_params))
         if self._batched is not None and self._batched[0] == key:
             return self._batched[1], self._batched[2]
         from ..models.viewport import make_batched_step
         fn = make_batched_step(self._viewport, self.ocean.config,
-                               spray_params, self.frame_batch)
+                               spray_params, k)
         self._batched = (key, fn, spray_params)
         return fn, spray_params
 
@@ -591,9 +608,13 @@ class WebViewer:
         """One loop iteration in batched mode: dispatch K sim+render frames
         as ONE program, fetch the PREVIOUS batch while it computes, and
         publish those K frames paced at the target rate."""
-        k = self.frame_batch
+        k = self.frame_batch      # single read: everything below uses it
+        if self._batch_pending_k not in (None, k):
+            # the pending batch was dispatched at a different K — its
+            # pacing window and stats split no longer match; drop it
+            pipeline.discard()
         t0 = time.perf_counter()
-        fn, spray_params = self._batched_step_fn()
+        fn, spray_params = self._batched_step_fn(k)
         pos, pitch, yaw, fov = self._camera_args()
         with self._ocean_lock:
             o = self.ocean
@@ -612,6 +633,7 @@ class WebViewer:
                 self._spray._state = sp_state
                 self._spray.clock = clock + k * dt
         host = pipeline.push(frames)
+        self._batch_pending_k = k
         work = time.perf_counter() - t0
         if host is not None:
             for i in range(len(host)):
@@ -721,10 +743,12 @@ class WebViewer:
             # host-side int the sim loop reads each iteration; the K>1
             # megastep (re)builds lazily in-loop (first use of a new K
             # pays its compile there, like a spray toggle)
-            k = int(value)
-            if not 1 <= k <= 8:
+            # same check as the constructor (a float like 2.7 must not
+            # truncate-and-pass here while the constructor rejects it)
+            if not (isinstance(value, int) and not isinstance(value, bool)
+                    and 1 <= value <= 8):
                 raise KeyError(value)
-            self.frame_batch = k
+            self.frame_batch = value
             return
         if name == "specular_aa":
             # a shade kwarg: toggling retraces the render — same async

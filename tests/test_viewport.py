@@ -262,3 +262,17 @@ def test_batched_step_matches_sequential_loop(spray_on):
         np.testing.assert_allclose(np.asarray(spray_state.start_time),
                                    np.asarray(spray_s._state.start_time),
                                    rtol=0, atol=1e-5)
+
+
+def test_frame_pipeline_discard():
+    """discard() drops the pending payload without publishing it (the
+    viewer's mode/K transitions would otherwise serve a stale batch)."""
+    from godotoceanwaves_tpu.models.viewport import FramePipeline
+    p = FramePipeline()
+    assert p.push(np.zeros((2, 2, 3), np.uint8)) is None
+    p.discard()
+    assert p.flush() is None
+    # after a discard the next push starts a fresh in-flight frame
+    assert p.push(np.ones((2, 2, 3), np.uint8)) is None
+    out = p.flush()
+    assert out is not None and out.max() == 1

@@ -588,12 +588,15 @@ def test_webviewer_frame_batch_validation():
     for bad in (0, 9, 2.0, -1):
         with pytest.raises(ValueError):
             WebViewer(ocean, width=64, height=36, frame_batch=bad)
-    # the /set panel edit path (host-side, no server needed)
+    # the /set panel edit path (host-side, no server needed) enforces the
+    # SAME type rule as the constructor (2.7 must not truncate to 2)
     viewer = WebViewer(ocean, width=64, height=36)
     viewer._apply({"name": "frame_batch", "value": 4})
     assert viewer.frame_batch == 4
-    with pytest.raises(KeyError):
-        viewer._apply({"name": "frame_batch", "value": 12})
+    for bad in (12, 0, 2.7, 2.0, True):
+        with pytest.raises(KeyError):
+            viewer._apply({"name": "frame_batch", "value": bad})
+    assert viewer.frame_batch == 4
 
 
 @pytest.mark.slow
