@@ -526,6 +526,7 @@ def render_ocean_geometry(
     render_scale: int = 1,      # dynamic resolution: render at 1/s, upsample
     rows=None,                  # (row_offset, row_count) band of the frame
     lift: str = "catrom",       # render_scale filter: "catrom" | "linear"
+    _debug_stage=None,          # profiling: "march" | "uv" | "grad" early out
     **shade_kwargs,
 ) -> jax.Array:
     """Perspective render of the DISPLACED clipmap mesh -> (H, W, 3) RGB.
@@ -582,6 +583,12 @@ def render_ocean_geometry(
     per band boundary — negligible at the multi-chip band heights, and
     zero for full frames).
     """
+    if _debug_stage not in (None, "march", "uv", "grad"):
+        raise ValueError(f"unknown _debug_stage {_debug_stage!r}; expected "
+                         "None, 'march', 'uv' or 'grad'")
+    if _debug_stage is not None and render_scale > 1:
+        raise ValueError("_debug_stage is a profiling hook for the internal "
+                         "render; call it with render_scale=1")
     if render_scale > 1:
         # Rebuild the recursive call's kwargs BY SIGNATURE NAME (not raw
         # locals() position): a renamed or newly added parameter raises
@@ -899,6 +906,10 @@ def render_ocean_geometry(
     hit = found | use_flat
 
     t_safe = jnp.where(hit, t_hit, 1.0)
+    if _debug_stage == "march":
+        # cumulative-cost probe: everything below is dead code under XLA
+        # DCE, so timing this return prices rays + march + hit refinement
+        return jnp.stack([t_safe, hit.astype(jnp.float32)], axis=-1)
     p = cam + t_safe[..., None] * d
     # fragment UV = pre-displacement param (water.gdshader:28)
     if (invert_res and invert_res < uniform_res and chop_iters > 0
@@ -920,6 +931,8 @@ def render_ocean_geometry(
     ux = jnp.where(found, ux, p[..., 0])
     uz = jnp.where(found, uz, p[..., 2])
     uv = jnp.stack([ux, uz], axis=-1)
+    if _debug_stage == "uv":
+        return uv
 
     dist = t_safe
     # shade_res > 1: take the (dominant-cost) gradient taps on a decimated
@@ -974,6 +987,8 @@ def render_ocean_geometry(
                                         sampler=sampler)
     if shade_res > 1:
         grad = _lift2d(grad, jnp.asarray(row_w), jnp.asarray(col_w))
+    if _debug_stage == "grad":
+        return grad
     rgb = shading.shade(grad, p[..., 1], -d, light, dist, **shade_kwargs)
     rgb = jnp.where(hit[..., None], rgb, shading.sky_color(d, light))
     if environment:

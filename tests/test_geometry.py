@@ -598,3 +598,29 @@ def test_lod_banding_tripwire_and_decimated_divisibility():
                                        bisect_steps=3)
     assert any("banding disabled" in str(r.message) for r in rec), \
         "prime full-res height must trip the LOD warning"
+
+
+def test_debug_stage_profiling_hook(ocean_maps):
+    """_debug_stage early returns: shapes per stage, strict validation, and
+    prefix consistency (the "grad" return IS the gradient the full render
+    shades with, so the decomposition prices real stages, not variants)."""
+    maps, scales = ocean_maps
+    kw = dict(width=64, height=32, shade_res=2)
+    out = {st: geometry.render_ocean_geometry(maps, scales, **kw,
+                                              _debug_stage=st)
+           for st in ("march", "uv", "grad", None)}
+    assert out["march"].shape == (32, 64, 2)
+    assert out["uv"].shape == (32, 64, 2)
+    assert out["grad"].shape == (32, 64, 3)
+    assert out[None].shape == (32, 64, 3)
+    for st in ("march", "uv", "grad", None):
+        assert bool(jnp.all(jnp.isfinite(out[st]))), st
+    # hit mask from the march stage bounds the uv stage: miss pixels keep
+    # uv = ray/flat-plane xz, hit pixels ran the inversion — both finite
+    assert set(np.unique(np.asarray(out["march"][..., 1]))) <= {0.0, 1.0}
+    with pytest.raises(ValueError, match="unknown _debug_stage"):
+        geometry.render_ocean_geometry(maps, scales, **kw,
+                                       _debug_stage="bogus")
+    with pytest.raises(ValueError, match="render_scale=1"):
+        geometry.render_ocean_geometry(maps, scales, width=64, height=32,
+                                       render_scale=2, _debug_stage="uv")
